@@ -1,0 +1,141 @@
+"""Public rasterizer API.
+
+``rasterize(gaussians, camera, ...)`` returns rgb/depth/alpha images and is
+differentiable w.r.t. Gaussian parameters and the camera pose (pass the pose
+through ``camera.with_delta(tau)`` and differentiate w.r.t. ``tau`` — this
+replaces the reference's external ``diff_gaussian_rasterization_pose`` CUDA
+kernel, SURVEY.md §2.3).
+
+``render`` mirrors the reference renderer-wrapper contract
+(/root/reference/gaussian_splatting/gaussian_renderer/__init__.py:18-104):
+returns a dict with render/depth/alpha/radii plus binning diagnostics, and an
+optional ``means2d_offset`` input whose gradient provides the screen-space
+positional gradients used by densification (the reference harvests these via
+retain_grad on a dummy tensor).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.camera import Camera
+from ..core.gaussians import GaussianParams
+from . import binning as binning_lib
+from . import blend as blend_lib
+from .preprocess import preprocess
+
+
+@struct.dataclass
+class RasterizerConfig:
+    """Static rasterizer capacities (hashable; safe as a jit static arg)."""
+
+    tile_size: int = struct.field(pytree_node=False, default=16)
+    max_pairs: int = struct.field(pytree_node=False, default=1 << 20)
+    max_per_tile: int = struct.field(pytree_node=False, default=1024)
+    chunk: int = struct.field(pytree_node=False, default=64)
+    backend: str = struct.field(pytree_node=False, default="auto")
+    scale_modifier: float = struct.field(pytree_node=False, default=1.0)
+
+
+class RenderOutput(NamedTuple):
+    color: jnp.ndarray        # (H, W, 3)
+    depth: jnp.ndarray        # (H, W)
+    alpha: jnp.ndarray        # (H, W)
+    radii: jnp.ndarray        # (P,) int32
+    visibility: jnp.ndarray   # (P,) bool (radii > 0)
+    num_rendered: jnp.ndarray  # () int32
+    overflow: jnp.ndarray     # () bool
+
+
+def rasterize(
+    gaussians: GaussianParams,
+    camera: Camera,
+    config: RasterizerConfig = RasterizerConfig(),
+    bg: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+) -> RenderOutput:
+    ts = config.tile_size
+    grid_x = -(-camera.width // ts)
+    grid_y = -(-camera.height // ts)
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+
+    prep = preprocess(
+        gaussians, camera, tile_size=ts,
+        scale_modifier=config.scale_modifier, colors_precomp=colors_precomp,
+    )
+    means2d = prep.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    bins = binning_lib.bin_gaussians(
+        prep, grid_x, grid_y, config.max_pairs, config.max_per_tile
+    )
+
+    use_pallas = _use_pallas(config.backend)
+    if use_pallas:
+        from . import pallas_blend
+        out = pallas_blend.blend_tiles_pallas(
+            bins.tile_gid, bins.tile_counts, means2d, prep.conic, prep.rgb,
+            prep.opacity, prep.depths, grid_x, grid_y, ts,
+        )
+    else:
+        out = blend_lib.blend_tiles(
+            bins.tile_gid, bins.tile_mask, means2d, prep.conic, prep.rgb,
+            prep.opacity, prep.depths, grid_x, grid_y, ts, chunk=config.chunk,
+        )
+
+    t_final = jnp.exp(out.log_t)                        # (T, npix)
+    color_tiles = out.color + t_final[..., None] * bg[None, None, :]
+    w, h = camera.width, camera.height
+    color = blend_lib.tiles_to_image(color_tiles, grid_x, grid_y, ts, w, h)
+    depth = blend_lib.tiles_to_image(out.depth, grid_x, grid_y, ts, w, h)
+    alpha = blend_lib.tiles_to_image(1.0 - t_final, grid_x, grid_y, ts, w, h)
+
+    return RenderOutput(
+        color=color,
+        depth=depth,
+        alpha=alpha,
+        radii=prep.radii,
+        visibility=prep.radii > 0,
+        num_rendered=bins.num_rendered,
+        overflow=bins.overflow,
+    )
+
+
+def _use_pallas(backend: str) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "jnp":
+        return False
+    # auto: pallas on TPU, jnp elsewhere
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def render(
+    gaussians: GaussianParams,
+    camera: Camera,
+    config: RasterizerConfig = RasterizerConfig(),
+    bg: Optional[jnp.ndarray] = None,
+    means2d_offset: Optional[jnp.ndarray] = None,
+) -> dict:
+    """Reference-style render dict (gaussian_renderer/__init__.py:18-104)."""
+    out = rasterize(gaussians, camera, config, bg, means2d_offset)
+    return {
+        "render": out.color,
+        "depth": out.depth,
+        "alpha": out.alpha,
+        "radii": out.radii,
+        "visibility_filter": out.visibility,
+        "num_rendered": out.num_rendered,
+        "overflow": out.overflow,
+    }
