@@ -60,8 +60,8 @@ class GaussianParams:
 
     @property
     def get_rotation(self) -> jnp.ndarray:
-        n = jnp.linalg.norm(self.rotation, axis=-1, keepdims=True)
-        return self.rotation / jnp.maximum(n, 1e-12)
+        sq = jnp.sum(self.rotation * self.rotation, axis=-1, keepdims=True)
+        return self.rotation * jax.lax.rsqrt(jnp.maximum(sq, 1e-20))
 
     @property
     def get_opacity(self) -> jnp.ndarray:

@@ -1,0 +1,176 @@
+"""Map-training loop: per-group Adam, LR schedule, jitted train step.
+
+Optimizer semantics follow the reference training_setup
+(gaussian_model.py:149-167 + arguments/__init__.py:72-94): Adam eps=1e-15,
+per-group LRs (xyz exponentially decayed 1.6e-4*extent -> 1.6e-6*extent over
+30k steps — general_utils.py:29-79 —, f_dc 2.5e-3, f_rest /20, opacity 0.05,
+scaling 5e-3, rotation 1e-3).
+
+The step is fully jitted (loss -> grads -> Adam update -> densify-stats
+accumulation). Densify/prune/opacity-reset are separate jitted calls invoked
+periodically by the host loop (mapping.densify).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core.camera import Camera
+from ..core.gaussians import GaussianParams
+from ..raster import RasterizerConfig, rasterize
+from . import losses
+from .densify import DensifyState, update_stats
+
+TRAINABLE = ("xyz", "features_dc", "features_rest", "scaling", "rotation",
+             "opacity")
+
+
+@struct.dataclass
+class MapTrainConfig:
+    position_lr_init: float = struct.field(pytree_node=False, default=1.6e-4)
+    position_lr_final: float = struct.field(pytree_node=False, default=1.6e-6)
+    position_lr_max_steps: int = struct.field(pytree_node=False, default=30_000)
+    feature_lr: float = struct.field(pytree_node=False, default=2.5e-3)
+    opacity_lr: float = struct.field(pytree_node=False, default=0.05)
+    scaling_lr: float = struct.field(pytree_node=False, default=5e-3)
+    rotation_lr: float = struct.field(pytree_node=False, default=1e-3)
+    spatial_scale: float = struct.field(pytree_node=False, default=1.0)
+    lambda_dssim: float = struct.field(pytree_node=False, default=0.2)
+    lambda_pseudo_depth: float = struct.field(pytree_node=False, default=0.01)
+    lambda_gt_depth: float = struct.field(pytree_node=False, default=0.05)
+    random_background: bool = struct.field(pytree_node=False, default=False)
+
+
+def _expon_lr(step, lr_init, lr_final, max_steps):
+    t = jnp.clip(step / max_steps, 0.0, 1.0)
+    return jnp.exp(
+        jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t
+    )
+
+
+def make_optimizer(cfg: MapTrainConfig) -> optax.GradientTransformation:
+    def xyz_sched(step):
+        return _expon_lr(
+            step,
+            cfg.position_lr_init * cfg.spatial_scale,
+            cfg.position_lr_final * cfg.spatial_scale,
+            cfg.position_lr_max_steps,
+        )
+
+    def group(lr):
+        if callable(lr):
+            return optax.chain(
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+                optax.scale_by_schedule(lambda s: -lr(s)),
+            )
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15),
+            optax.scale(-lr),
+        )
+
+    return optax.multi_transform(
+        {
+            "xyz": group(xyz_sched),
+            "features_dc": group(cfg.feature_lr),
+            "features_rest": group(cfg.feature_lr / 20.0),
+            "scaling": group(cfg.scaling_lr),
+            "rotation": group(cfg.rotation_lr),
+            "opacity": group(cfg.opacity_lr),
+        },
+        {k: k for k in TRAINABLE},
+    )
+
+
+@struct.dataclass
+class MapTrainState:
+    gaussians: GaussianParams
+    opt_state: Any
+    densify: DensifyState
+    step: jnp.ndarray
+    key: jax.Array
+
+
+def init_training(
+    gaussians: GaussianParams, cfg: MapTrainConfig, seed: int = 0
+) -> MapTrainState:
+    opt = make_optimizer(cfg)
+    trainable = {k: getattr(gaussians, k) for k in TRAINABLE}
+    return MapTrainState(
+        gaussians=gaussians,
+        opt_state=opt.init(trainable),
+        densify=DensifyState.create(gaussians.capacity),
+        step=jnp.zeros((), jnp.int32),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg"))
+def train_step(
+    state: MapTrainState,
+    camera: Camera,
+    gt_image: jnp.ndarray,
+    cfg: MapTrainConfig,
+    raster_cfg: RasterizerConfig,
+    gt_depth: Optional[jnp.ndarray] = None,
+    pseudo_depth: Optional[jnp.ndarray] = None,
+) -> tuple[MapTrainState, dict]:
+    key, bg_key = jax.random.split(state.key)
+    if cfg.random_background:
+        bg = jax.random.uniform(bg_key, (3,))
+    else:
+        bg = jnp.zeros((3,))
+
+    g0 = state.gaussians
+    zero_off = jnp.zeros((g0.capacity, 2), jnp.float32)
+
+    def loss_fn(trainable, means2d_off):
+        g = g0.replace(**trainable)
+        out = rasterize(g, camera, raster_cfg, bg=bg, means2d_offset=means2d_off)
+        loss, aux = losses.training_loss(
+            out.color, gt_image, depth=out.depth, gt_depth=gt_depth,
+            pseudo_depth=pseudo_depth,
+            lambda_dssim=cfg.lambda_dssim,
+            lambda_pseudo_depth=cfg.lambda_pseudo_depth,
+            lambda_gt_depth=cfg.lambda_gt_depth,
+        )
+        return loss, (aux, out)
+
+    trainable = {k: getattr(g0, k) for k in TRAINABLE}
+    (loss, (aux, out)), (grads, g2d) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(trainable, zero_off)
+
+    # mask dead slots so Adam moments stay zero there
+    live = g0.live
+    grads = jax.tree_util.tree_map(
+        lambda g: g * live.reshape((-1,) + (1,) * (g.ndim - 1)), grads
+    )
+
+    opt = make_optimizer(cfg)
+    updates, new_opt_state = opt.update(grads, state.opt_state, trainable)
+    new_trainable = optax.apply_updates(trainable, updates)
+    new_g = g0.replace(**new_trainable)
+
+    new_densify = update_stats(
+        state.densify, g2d, out.visibility, out.radii,
+        camera.width, camera.height,
+    )
+
+    new_state = state.replace(
+        gaussians=new_g,
+        opt_state=new_opt_state,
+        densify=new_densify,
+        step=state.step + 1,
+        key=key,
+    )
+    aux = dict(aux)
+    aux["num_rendered"] = out.num_rendered
+    aux["overflow"] = out.overflow
+    return new_state, aux

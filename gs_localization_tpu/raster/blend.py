@@ -93,7 +93,14 @@ def blend_tiles(
     mask_c = tile_mask.reshape(num_tiles, n_chunks, chunk).swapaxes(0, 1)
 
     def step(carry, inp):
-        log_t, color, depth_acc = carry
+        # Two log-T carries: ``log_t_full`` accumulates EVERY alpha and is the
+        # monotone saturation test (once below log(1e-4) it stays below —
+        # this reproduces the reference's sticky per-pixel ``done`` flag,
+        # forward.cu:349-354, across chunk boundaries). ``log_t`` accumulates
+        # only *applied* alphas and is the actual final transmittance.
+        # Wherever applied is true the two carries coincide, so using
+        # ``clog`` (full) for the weights is exact.
+        log_t_full, log_t, color, depth_acc = carry
         gid, mask = inp                                   # (T, G)
         xy = means2d[gid]                                 # (T, G, 2)
         con = conic[gid]
@@ -105,22 +112,24 @@ def blend_tiles(
             xy[:, :, None, :], con[:, :, None, :], opa[:, :, None], pix[:, None, :, :]
         )                                                 # (T, G, npix)
         la = jnp.log1p(-alpha)
-        clog = log_t[:, None, :] + jnp.cumsum(la, axis=1)  # T_incl in log space
+        clog = log_t_full[:, None, :] + jnp.cumsum(la, axis=1)  # T_incl, log space
         applied = clog >= LOG_T_EPS
         w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)
         color = color + jnp.einsum(
             "tgp,tgc->tpc", w, col, preferred_element_type=jnp.float32
         )
         depth_acc = depth_acc + jnp.sum(w * dep[:, :, None], axis=1)
+        log_t_full = log_t_full + jnp.sum(la, axis=1)
         log_t = log_t + jnp.sum(jnp.where(applied, la, 0.0), axis=1)
-        return (log_t, color, depth_acc), None
+        return (log_t_full, log_t, color, depth_acc), None
 
     init = (
+        jnp.zeros((num_tiles, npix), jnp.float32),
         jnp.zeros((num_tiles, npix), jnp.float32),
         jnp.zeros((num_tiles, npix, 3), jnp.float32),
         jnp.zeros((num_tiles, npix), jnp.float32),
     )
-    (log_t, color, depth_acc), _ = jax.lax.scan(step, init, (gid_c, mask_c))
+    (_, log_t, color, depth_acc), _ = jax.lax.scan(step, init, (gid_c, mask_c))
     return TileBlendOut(color=color, depth=depth_acc, log_t=log_t)
 
 

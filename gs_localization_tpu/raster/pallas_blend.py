@@ -1,0 +1,357 @@
+"""Pallas TPU tile-blend kernels (forward + analytic backward, custom_vjp).
+
+Same math as ``blend.py`` (the jnp oracle), reorganized for the TPU:
+
+- one grid step per 16x16 tile; the tile's Gaussian list (already gathered to
+  a dense (8, cap)/(4, cap) struct-of-rows layout with the pair axis on
+  lanes) is DMA'd to VMEM by the BlockSpec pipeline.
+- the front-to-back recurrence runs as chunks of G Gaussians: the in-chunk
+  inclusive prefix sum of log(1-alpha) is one (npix, G) @ (G, G) triangular
+  matmul (MXU), the color/depth accumulation is one (4, G) x (npix, G)
+  contraction per chunk (MXU).
+- per-tile **early exit**: a while_loop stops as soon as every pixel is
+  saturated (max log T < log 1e-4) or the list is exhausted — the analog of
+  the reference's block-vote break (forward.cu:312-314) without warp votes.
+- the backward kernel re-walks the list back-to-front (reference
+  backward.cu:399-581) with a reverse suffix-sum matmul instead of atomics;
+  per-Gaussian gradients leave the kernel per-pair and are scatter-added
+  outside by XLA (the transpose of the gather that built the tile lists).
+
+Everything is f32; counts ride scalar prefetch (SMEM) so index math can
+happen before the body runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blend import ALPHA_MAX, ALPHA_MIN, LOG_T_EPS, TileBlendOut
+
+# geom rows
+_GX, _GY, _GA, _GB, _GC, _GOPA, _GVALID = 0, 1, 2, 3, 4, 5, 6
+_GEOM_ROWS = 8
+_RGBD_ROWS = 4
+
+
+def _pixel_coords(tile_id, grid_x: int, ts: int, npix: int):
+    """(npix, 1) pixel-center x and y for this tile."""
+    ox = (tile_id % grid_x) * ts
+    oy = (tile_id // grid_x) * ts
+    ii = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
+    px = (ox + ii % ts).astype(jnp.float32)
+    py = (oy + ii // ts).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(geom_ref, sl, px, py, count, k, chunk: int):
+    """Gated alpha for one chunk: (npix, G) plus raw/clamp gate info."""
+    x = geom_ref[0, _GX : _GX + 1, sl]          # (1, G)
+    y = geom_ref[0, _GY : _GY + 1, sl]
+    ca = geom_ref[0, _GA : _GA + 1, sl]
+    cb = geom_ref[0, _GB : _GB + 1, sl]
+    cc = geom_ref[0, _GC : _GC + 1, sl]
+    opa = geom_ref[0, _GOPA : _GOPA + 1, sl]
+    vld = geom_ref[0, _GVALID : _GVALID + 1, sl]
+
+    dx = x - px                                  # (npix, G)
+    dy = y - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expp = jnp.exp(jnp.minimum(power, 0.0))
+    araw = opa * expp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + k * chunk
+    gate = (
+        (power <= 0.0)
+        & (araw >= ALPHA_MIN)
+        & (vld > 0.5)
+        & (lane < count)
+    )
+    alpha = jnp.where(gate, jnp.minimum(ALPHA_MAX, araw), 0.0)
+    unclamped = gate & (araw < ALPHA_MAX)
+    return alpha, araw, expp, gate, unclamped, (dx, dy, ca, cb, cc)
+
+
+def _fwd_kernel(counts_ref, geom_ref, rgbd_ref, accum_ref, logt_ref,
+                *, grid_x: int, ts: int, cap: int, chunk: int):
+    t = pl.program_id(0)
+    npix = ts * ts
+    count = counts_ref[t]
+    n_chunks = pl.cdiv(count, chunk)
+    px, py = _pixel_coords(t, grid_x, ts, npix)
+
+    # inclusive-prefix matrix: tri[r, c] = 1 iff r <= c
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (r_i <= c_i).astype(jnp.float32)
+
+    def cond(state):
+        k, log_full, _, _ = state
+        return (k < n_chunks) & (jnp.max(log_full) >= LOG_T_EPS)
+
+    def body(state):
+        k, log_full, log_app, acc = state
+        sl = pl.ds(k * chunk, chunk)
+        alpha, _, _, _, _, _ = _chunk_alpha(geom_ref, sl, px, py, count, k, chunk)
+        la = jnp.log(1.0 - alpha)
+        clog = log_full + jnp.dot(la, tri, preferred_element_type=jnp.float32)
+        applied = clog >= LOG_T_EPS
+        w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)  # (npix, G)
+        rgbd = rgbd_ref[0, :, sl]                                # (4, G)
+        acc = acc + jax.lax.dot_general(
+            rgbd, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                        # (4, npix)
+        log_full = log_full + jnp.sum(la, axis=1, keepdims=True)
+        log_app = log_app + jnp.sum(
+            jnp.where(applied, la, 0.0), axis=1, keepdims=True
+        )
+        return k + 1, log_full, log_app, acc
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((npix, 1), jnp.float32),
+        jnp.zeros((npix, 1), jnp.float32),
+        jnp.zeros((4, npix), jnp.float32),
+    )
+    _, _, log_app, acc = jax.lax.while_loop(cond, body, init)
+    accum_ref[0] = acc
+    logt_ref[0] = log_app
+
+
+def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref, glogt_ref,
+                dgeom_ref, drgbd_ref,
+                *, grid_x: int, ts: int, cap: int, chunk: int):
+    t = pl.program_id(0)
+    npix = ts * ts
+    count = counts_ref[t]
+    n_chunks_cap = cap // chunk
+    px, py = _pixel_coords(t, grid_x, ts, npix)
+
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (r_i <= c_i).astype(jnp.float32)       # inclusive prefix
+    tri_after = (r_i > c_i).astype(jnp.float32)  # strict suffix (k' > i)
+
+    dgeom_ref[0] = jnp.zeros((_GEOM_ROWS, cap), jnp.float32)
+    drgbd_ref[0] = jnp.zeros((_RGBD_ROWS, cap), jnp.float32)
+
+    # ---- pass A: forward sweep recording chunk-start log T (full) -------
+    def run_scoped_body(carry_scratch):
+        def condA(state):
+            k, log_full = state
+            return (k < pl.cdiv(count, chunk)) & (jnp.max(log_full) >= LOG_T_EPS)
+
+        def bodyA(state):
+            k, log_full = state
+            carry_scratch[:, pl.ds(k, 1)] = log_full
+            sl = pl.ds(k * chunk, chunk)
+            alpha, _, _, _, _, _ = _chunk_alpha(
+                geom_ref, sl, px, py, count, k, chunk
+            )
+            la = jnp.log(1.0 - alpha)
+            return k + 1, log_full + jnp.sum(la, axis=1, keepdims=True)
+
+        k_stop, _ = jax.lax.while_loop(
+            condA, bodyA, (jnp.int32(0), jnp.zeros((npix, 1), jnp.float32))
+        )
+
+        # ---- pass B: reverse sweep accumulating gradients ---------------
+        gacc = gacc_ref[0]                       # (4, npix)
+        glogt = glogt_ref[0]                     # (npix, 1)
+
+        def bodyB(j, s_carry):
+            k = k_stop - 1 - j
+
+            def compute(s_carry):
+                sl = pl.ds(k * chunk, chunk)
+                alpha, araw, expp, gate, unclamped, geo = _chunk_alpha(
+                    geom_ref, sl, px, py, count, k, chunk
+                )
+                dx, dy, ca, cb, cc = geo
+                la = jnp.log(1.0 - alpha)
+                log_full0 = carry_scratch[:, pl.ds(k, 1)]
+                clog = log_full0 + jnp.dot(
+                    la, tri, preferred_element_type=jnp.float32
+                )
+                applied = clog >= LOG_T_EPS
+                w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)
+
+                rgbd = rgbd_ref[0, :, sl]        # (4, G)
+                # dL/dw (npix, G) and dL/drgbd (4, G)
+                wbar = jax.lax.dot_general(
+                    gacc, rgbd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                # (npix, G)
+                drgbd = jax.lax.dot_general(
+                    gacc, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                # (4, G)
+                drgbd_ref[0, :, sl] = drgbd
+
+                m = wbar * w                     # (npix, G)
+                suffix = jnp.dot(m, tri_after, preferred_element_type=jnp.float32)
+                labar = suffix + s_carry + jnp.where(applied, glogt, 0.0)
+                t_prev = jnp.exp(clog - la)
+                abar = (
+                    jnp.where(applied, wbar * t_prev, 0.0)
+                    - labar / (1.0 - alpha)
+                )
+                dpow = jnp.where(unclamped, abar * araw, 0.0)
+                dopa = jnp.where(unclamped, abar * expp, 0.0)
+                dgeom_ref[0, _GX : _GX + 1, sl] = jnp.sum(
+                    dpow * -(ca * dx + cb * dy), axis=0, keepdims=True
+                )
+                dgeom_ref[0, _GY : _GY + 1, sl] = jnp.sum(
+                    dpow * -(cc * dy + cb * dx), axis=0, keepdims=True
+                )
+                dgeom_ref[0, _GA : _GA + 1, sl] = jnp.sum(
+                    dpow * (-0.5 * dx * dx), axis=0, keepdims=True
+                )
+                dgeom_ref[0, _GB : _GB + 1, sl] = jnp.sum(
+                    dpow * (-dx * dy), axis=0, keepdims=True
+                )
+                dgeom_ref[0, _GC : _GC + 1, sl] = jnp.sum(
+                    dpow * (-0.5 * dy * dy), axis=0, keepdims=True
+                )
+                dgeom_ref[0, _GOPA : _GOPA + 1, sl] = jnp.sum(
+                    dopa, axis=0, keepdims=True
+                )
+                return s_carry + jnp.sum(m, axis=1, keepdims=True)
+
+            return jax.lax.cond(k >= 0, compute, lambda s: s, s_carry)
+
+        jax.lax.fori_loop(
+            0, n_chunks_cap, bodyB, jnp.zeros((npix, 1), jnp.float32)
+        )
+
+    pl.run_scoped(
+        run_scoped_body,
+        carry_scratch=pltpu.VMEM((npix, cap // chunk), jnp.float32),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _make_core(num_tiles: int, grid_x: int, ts: int, cap: int, chunk: int,
+               interpret: bool):
+    npix = ts * ts
+    fwd_kernel = functools.partial(
+        _fwd_kernel, grid_x=grid_x, ts=ts, cap=cap, chunk=chunk
+    )
+    bwd_kernel = functools.partial(
+        _bwd_kernel, grid_x=grid_x, ts=ts, cap=cap, chunk=chunk
+    )
+
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 4, npix), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, npix, 1), lambda t, c: (t, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, npix, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, 4, npix), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, npix, 1), lambda t, c: (t, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, _GEOM_ROWS, cap), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, _RGBD_ROWS, cap), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def core(counts, geom, rgbd):
+        accum, logt = fwd_call(counts, geom, rgbd)
+        return accum, logt
+
+    def core_fwd(counts, geom, rgbd):
+        return core(counts, geom, rgbd), (counts, geom, rgbd)
+
+    def core_bwd(res, cotangents):
+        counts, geom, rgbd = res
+        gacc, glogt = cotangents
+        dgeom, drgbd = bwd_call(counts, geom, rgbd, gacc, glogt)
+        return (np.zeros(counts.shape, jax.dtypes.float0), dgeom, drgbd)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def blend_tiles_pallas(
+    tile_gid: jnp.ndarray,     # (num_tiles, cap) int32
+    tile_counts: jnp.ndarray,  # (num_tiles,) int32
+    means2d: jnp.ndarray,      # (P, 2)
+    conic: jnp.ndarray,        # (P, 3)
+    rgb: jnp.ndarray,          # (P, 3)
+    opacity: jnp.ndarray,      # (P,)
+    depths: jnp.ndarray,       # (P,)
+    grid_x: int,
+    grid_y: int,
+    tile_size: int,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> TileBlendOut:
+    num_tiles, cap = tile_gid.shape
+    chunk = min(chunk, cap)
+    assert cap % chunk == 0, (cap, chunk)
+    npix = tile_size * tile_size
+
+    gid = tile_gid
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, gid.shape, 1)
+        < tile_counts[:, None]
+    )
+    # struct-of-rows gather: pair axis on lanes
+    geom = jnp.stack(
+        [
+            means2d[gid, 0],
+            means2d[gid, 1],
+            conic[gid, 0],
+            conic[gid, 1],
+            conic[gid, 2],
+            opacity[gid],
+            valid.astype(jnp.float32),
+            jnp.zeros_like(opacity[gid]),
+        ],
+        axis=1,
+    )                                            # (T, 8, cap)
+    rgbd = jnp.stack(
+        [rgb[gid, 0], rgb[gid, 1], rgb[gid, 2], depths[gid]], axis=1
+    )                                            # (T, 4, cap)
+
+    core = _make_core(num_tiles, grid_x, tile_size, cap, chunk, interpret)
+    accum, logt = core(tile_counts, geom, rgbd)
+    color = jnp.moveaxis(accum[:, 0:3, :], 1, 2)  # (T, npix, 3)
+    depth = accum[:, 3, :]
+    return TileBlendOut(color=color, depth=depth, log_t=logt[:, :, 0])

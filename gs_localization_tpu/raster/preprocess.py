@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..core import sh as sh_lib
@@ -152,9 +153,10 @@ def preprocess(
         rgb = colors_precomp
     else:
         dirs = xyz - camera.campos
-        dirs = dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
-        )
+        # rsqrt-with-floor: keeps the gradient NaN-free at dirs == 0 (dead
+        # slots sit at the origin; norm() would give 0/0 in the backward)
+        sq = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+        dirs = dirs * jax.lax.rsqrt(jnp.maximum(sq, 1e-20))
         rgb = sh_lib.sh_to_clamped_rgb(
             gaussians.get_features, dirs, gaussians.sh_degree
         )

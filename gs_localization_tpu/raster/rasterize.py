@@ -36,6 +36,7 @@ class RasterizerConfig:
     max_pairs: int = struct.field(pytree_node=False, default=1 << 20)
     max_per_tile: int = struct.field(pytree_node=False, default=1024)
     chunk: int = struct.field(pytree_node=False, default=64)
+    pallas_chunk: int = struct.field(pytree_node=False, default=256)
     backend: str = struct.field(pytree_node=False, default="auto")
     scale_modifier: float = struct.field(pytree_node=False, default=1.0)
 
@@ -76,12 +77,13 @@ def rasterize(
         prep, grid_x, grid_y, config.max_pairs, config.max_per_tile
     )
 
-    use_pallas = _use_pallas(config.backend)
-    if use_pallas:
+    mode = _blend_mode(config.backend)
+    if mode in ("pallas", "pallas_interpret"):
         from . import pallas_blend
         out = pallas_blend.blend_tiles_pallas(
             bins.tile_gid, bins.tile_counts, means2d, prep.conic, prep.rgb,
             prep.opacity, prep.depths, grid_x, grid_y, ts,
+            chunk=config.pallas_chunk, interpret=(mode == "pallas_interpret"),
         )
     else:
         out = blend_lib.blend_tiles(
@@ -107,18 +109,16 @@ def rasterize(
     )
 
 
-def _use_pallas(backend: str) -> bool:
-    if backend == "pallas":
-        return True
-    if backend == "jnp":
-        return False
+def _blend_mode(backend: str) -> str:
+    if backend in ("pallas", "pallas_interpret", "jnp"):
+        return backend
     # auto: pallas on TPU, jnp elsewhere
     import jax
 
     try:
-        return jax.default_backend() == "tpu"
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
     except Exception:  # pragma: no cover
-        return False
+        return "jnp"
 
 
 def render(

@@ -1,0 +1,105 @@
+"""Pose refinement: masks, tracking loss, and end-to-end pose recovery."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gs_localization_tpu.core import se3
+from gs_localization_tpu.loc import TrackingConfig, refine_pose, refine_poses_batch
+from gs_localization_tpu.ops.image import (
+    compute_grad_mask, image_gradient, keypoint_box_mask,
+)
+from gs_localization_tpu.raster import RasterizerConfig, rasterize
+
+from helpers import random_scene, make_camera
+
+CFG = RasterizerConfig(
+    tile_size=16, max_pairs=1 << 15, max_per_tile=256, chunk=32, backend="jnp"
+)
+
+
+class TestMasks:
+    def test_scharr_gradient_of_ramp(self):
+        # horizontal ramp -> constant horizontal gradient, zero vertical
+        img = jnp.tile(jnp.arange(16, dtype=jnp.float32)[None, :], (12, 1)) / 16.0
+        gv, gh = image_gradient(img)
+        inner_h = np.asarray(gh)[2:-2, 2:-2]
+        inner_v = np.asarray(gv)[2:-2, 2:-2]
+        # reference kernel sign convention: negative for increasing x
+        np.testing.assert_allclose(inner_h, -1.0 / 16.0, atol=1e-5)
+        np.testing.assert_allclose(inner_v, 0.0, atol=1e-5)
+
+    def test_grad_mask_finds_edges(self):
+        img = np.full((32, 32, 3), 0.9, np.float32)
+        img[:, 16:] = 0.1  # vertical edge
+        mask = np.asarray(compute_grad_mask(jnp.asarray(img), 1.1))
+        assert mask[:, 14:18].any()
+        assert not mask[:, :8].any()
+
+    def test_keypoint_box_mask(self):
+        kps = jnp.asarray([[5.0, 7.0], [20.0, 3.0]])
+        mask = np.asarray(keypoint_box_mask(kps, 32, 16, k=10))
+        assert mask.shape == (16, 32)
+        assert mask[7, 5] and mask[3, 20]
+        assert mask[7 - 5, 5 - 5] and mask[7 + 5, 5 + 5]
+        assert not mask[15, 31]
+        # out-of-range keypoints are dropped, not wrapped
+        mask2 = np.asarray(keypoint_box_mask(jnp.asarray([[100.0, 100.0]]), 32, 16))
+        assert not mask2.any()
+
+
+class TestRefine:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        rng = np.random.default_rng(3)
+        g = random_scene(rng, n=300, sh_degree=1, spread=1.5,
+                         z_range=(2.5, 6.0), scale_range=(-3.0, -1.8))
+        cam_gt = make_camera(80, 60, fov=1.1)
+        target = rasterize(g, cam_gt, CFG)
+        return g, cam_gt, target
+
+    def test_recovers_perturbed_pose_rgbd(self, setup):
+        g, cam_gt, target = setup
+        tau = jnp.asarray([0.02, -0.015, 0.01, 0.015, -0.02, 0.01])
+        cam0 = cam_gt.with_delta(tau)
+        mask = jnp.ones((60, 80), bool)
+        tcfg = TrackingConfig(num_iters=80, lr=2e-3, convergence=1e-5)
+        res = refine_pose(g, cam0, target.color, mask, tcfg, CFG,
+                          gt_depth=target.depth)
+        R_est = res.w2c[:3, :3]
+        t_err = float(jnp.linalg.norm(
+            -R_est.T @ res.w2c[:3, 3] - cam_gt.campos))
+        r_err = float(se3.rotation_geodesic_error_deg(R_est, cam_gt.R_w2c))
+        assert t_err < 0.01, t_err
+        assert r_err < 0.5, r_err
+        assert int(res.num_iters) <= 80
+
+    def test_monocular_loss_runs(self, setup):
+        g, cam_gt, target = setup
+        cam0 = cam_gt.with_delta(jnp.asarray([0.01, 0, 0, 0, 0.01, 0]))
+        mask = jnp.ones((60, 80), bool)
+        tcfg = TrackingConfig(num_iters=20, lr=1e-3, monocular=True)
+        res = refine_pose(g, cam0, target.color, mask, tcfg, CFG)
+        assert np.isfinite(float(res.final_loss))
+
+    def test_batched_refinement(self, setup):
+        g, cam_gt, target = setup
+        B = 3
+        taus = jnp.asarray([
+            [0.01, 0.0, -0.01, 0.01, 0.0, -0.005],
+            [-0.01, 0.01, 0.0, -0.01, 0.005, 0.0],
+            [0.0, -0.01, 0.01, 0.0, -0.01, 0.01],
+        ])
+        cams = jax.vmap(cam_gt.with_delta)(taus)
+        gts = jnp.tile(target.color[None], (B, 1, 1, 1))
+        deps = jnp.tile(target.depth[None], (B, 1, 1))
+        masks = jnp.ones((B, 60, 80), bool)
+        tcfg = TrackingConfig(num_iters=50, lr=2e-3)
+        res = refine_poses_batch(g, cams, gts, masks, tcfg, CFG, gt_depths=deps)
+        assert res.w2c.shape == (B, 4, 4)
+        for i in range(B):
+            R_est = res.w2c[i, :3, :3]
+            t_est = -R_est.T @ res.w2c[i, :3, 3]
+            t_err = float(jnp.linalg.norm(t_est - cam_gt.campos))
+            assert t_err < 0.02, (i, t_err)

@@ -1,0 +1,175 @@
+"""Mapping: SSIM/losses, densification surgery, and a smoke train run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gs_localization_tpu.core.gaussians import GaussianParams
+from gs_localization_tpu.mapping import (
+    MapTrainConfig, densify_and_prune, init_training, reset_opacity, train_step,
+)
+from gs_localization_tpu.mapping.densify import DensifyState, update_stats
+from gs_localization_tpu.mapping.losses import (
+    pearson_corrcoef, psnr, training_loss,
+)
+from gs_localization_tpu.ops.ssim import ssim
+from gs_localization_tpu.raster import RasterizerConfig, rasterize
+
+from helpers import random_scene, make_camera
+
+CFG = RasterizerConfig(
+    tile_size=16, max_pairs=1 << 14, max_per_tile=128, chunk=32, backend="jnp"
+)
+
+
+class TestSSIM:
+    def test_identical_images(self, rng):
+        img = jnp.asarray(rng.uniform(0, 1, (32, 40, 3)), jnp.float32)
+        assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_matches_torch_reference(self, rng):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        def torch_ssim(a, b, window_size=11):
+            # independent re-implementation of the reference loss_utils.py
+            sigma = 1.5
+            g = torch.exp(-((torch.arange(window_size) - window_size // 2) ** 2)
+                          / (2 * sigma**2))
+            g = (g / g.sum()).float()
+            win = (g[:, None] @ g[None, :])[None, None].repeat(3, 1, 1, 1)
+            pad = window_size // 2
+            mu1 = F.conv2d(a, win, padding=pad, groups=3)
+            mu2 = F.conv2d(b, win, padding=pad, groups=3)
+            mu1s, mu2s, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+            s1 = F.conv2d(a * a, win, padding=pad, groups=3) - mu1s
+            s2 = F.conv2d(b * b, win, padding=pad, groups=3) - mu2s
+            s12 = F.conv2d(a * b, win, padding=pad, groups=3) - mu12
+            c1, c2 = 0.01**2, 0.03**2
+            m = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+                (mu1s + mu2s + c1) * (s1 + s2 + c2))
+            return m.mean().item()
+
+        a = rng.uniform(0, 1, (24, 28, 3)).astype(np.float32)
+        b = np.clip(a + 0.1 * rng.standard_normal(a.shape).astype(np.float32), 0, 1)
+        ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        ta = torch.from_numpy(a.transpose(2, 0, 1))[None]
+        tb = torch.from_numpy(b.transpose(2, 0, 1))[None]
+        np.testing.assert_allclose(ours, torch_ssim(ta, tb), atol=1e-5)
+
+    def test_pearson(self, rng):
+        x = rng.standard_normal(100).astype(np.float32)
+        y = 2 * x + 1
+        assert float(pearson_corrcoef(jnp.asarray(x), jnp.asarray(y))) == \
+            pytest.approx(1.0, abs=1e-5)
+        expect = np.corrcoef(x, x**2 + rng.standard_normal(100))[0, 1]
+        got = float(pearson_corrcoef(
+            jnp.asarray(x), jnp.asarray(x**2 + rng.standard_normal(100))))
+        assert abs(got) <= 1.0
+
+
+class TestDensify:
+    def _setup(self, rng, n=32, cap=64):
+        g = random_scene(rng, n=n, capacity=cap)
+        cfg = MapTrainConfig()
+        state = init_training(g, cfg)
+        return g, state
+
+    def test_clone_fills_free_slots(self, rng):
+        g, state = self._setup(rng)
+        cap = g.capacity
+        dstate = DensifyState.create(cap)
+        # mark first 5 live gaussians as high-gradient, small scale
+        grad = np.zeros(cap, np.float32)
+        grad[:5] = 1.0
+        dstate = dstate.replace(grad_accum=jnp.asarray(grad),
+                                denom=jnp.ones(cap))
+        g2, _, opt2, report = densify_and_prune(
+            g, dstate, state.opt_state, jax.random.PRNGKey(0),
+            grad_threshold=0.5, extent=100.0,  # huge extent => all "small" => clone
+        )
+        assert int(report.num_cloned) == 5
+        assert int(report.num_split) == 0
+        assert int(g2.num_live) == int(g.num_live) + 5
+
+    def test_split_replaces_and_adds(self, rng):
+        g = random_scene(rng, n=16, capacity=48)
+        state = init_training(g, MapTrainConfig())
+        cap = g.capacity
+        dstate = DensifyState.create(cap).replace(
+            grad_accum=jnp.ones(cap), denom=jnp.ones(cap))
+        g2, _, _, report = densify_and_prune(
+            g, dstate, state.opt_state, jax.random.PRNGKey(0),
+            grad_threshold=0.5, extent=1e-9,  # tiny extent => all "big" => split
+        )
+        assert int(report.num_split) == 16
+        # each split: -1 original +2 children => net +1
+        assert int(g2.num_live) == 32
+        # every surviving gaussian is a child with scale = orig/(0.8*2)
+        np.testing.assert_allclose(
+            float(jnp.exp(g2.scaling[g2.live]).max()),
+            float(jnp.exp(g.scaling[g.live]).max()) / 1.6, rtol=1e-4)
+
+    def test_prune_low_opacity(self, rng):
+        g, state = self._setup(rng)
+        cap = g.capacity
+        opa = np.array(g.opacity)
+        opa[:10] = -10.0  # sigmoid ~ 0
+        g = g.replace(opacity=jnp.asarray(opa))
+        dstate = DensifyState.create(cap)
+        g2, _, _, report = densify_and_prune(
+            g, dstate, state.opt_state, jax.random.PRNGKey(0),
+            grad_threshold=1e9, min_opacity=0.005,
+        )
+        assert int(report.num_pruned) == 10
+        assert int(g2.num_live) == int(g.num_live) - 10
+
+    def test_capacity_overflow_drops(self, rng):
+        g = random_scene(rng, n=60, capacity=64)
+        cfg = MapTrainConfig()
+        state = init_training(g, cfg)
+        dstate = DensifyState.create(64).replace(
+            grad_accum=jnp.ones(64), denom=jnp.ones(64))
+        g2, _, _, report = densify_and_prune(
+            g, dstate, state.opt_state, jax.random.PRNGKey(0),
+            grad_threshold=0.5, extent=100.0,
+        )
+        assert int(report.dropped) > 0
+        assert int(g2.num_live) == 64  # full
+
+    def test_reset_opacity(self, rng):
+        g, state = self._setup(rng)
+        g2, opt2 = reset_opacity(g, state.opt_state)
+        assert float(g2.get_opacity[g2.live].max()) <= 0.011
+
+
+class TestTrainLoop:
+    def test_loss_decreases_and_psnr_climbs(self, rng):
+        # tiny scene: fit gaussians to render from a fixed target
+        target_g = random_scene(rng, n=60, sh_degree=1)
+        cam = make_camera(48, 32)
+        gt = rasterize(target_g, cam, CFG).color
+
+        # perturbed initialization
+        g = random_scene(np.random.default_rng(1), n=60, sh_degree=1, capacity=96)
+        cfg = MapTrainConfig(spatial_scale=2.0)
+        state = init_training(g, cfg)
+        loss0 = None
+        for i in range(150):
+            state, aux = train_step(state, cam, gt, cfg, CFG)
+            if i == 0:
+                loss0 = float(aux["total"])
+        assert float(aux["total"]) < loss0 * 0.65
+        out = rasterize(state.gaussians, cam, CFG)
+        assert float(psnr(out.color, gt)) > 16.0
+
+    def test_densify_stats_accumulate(self, rng):
+        g = random_scene(rng, n=40, capacity=64)
+        cam = make_camera(48, 32)
+        gt = jnp.zeros((32, 48, 3))
+        cfg = MapTrainConfig()
+        state = init_training(g, cfg)
+        state, _ = train_step(state, cam, gt, cfg, CFG)
+        assert float(jnp.sum(state.densify.denom)) > 0
+        assert float(jnp.sum(state.densify.grad_accum)) > 0

@@ -86,6 +86,38 @@ class TestForwardParity:
         center_alpha = float(out.alpha[16, 16])
         assert center_alpha > 0.999
 
+    def test_sticky_saturation_across_chunks(self):
+        # opaque gaussians saturate T in chunk 0; near-transparent ones in
+        # later chunks must stay excluded (reference sticky `done` flag,
+        # forward.cu:349-354) even though their own alpha would pass the test
+        n = 96
+        xyz = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+        xyz[:, 2] += np.arange(n) * 0.01
+        opacity = np.full((n, 1), 6.0, np.float32)     # ~opaque front
+        opacity[8:] = -2.0                             # tiny alpha tail
+        from gs_localization_tpu.core.gaussians import GaussianParams
+        from gs_localization_tpu.core import sh as sh_lib
+        colors = np.zeros((n, 3), np.float32)
+        colors[:8] = 0.9
+        colors[8:] = [1.0, 0.0, 0.0]                   # would tint red if leaked
+        g = GaussianParams.from_arrays(
+            xyz=xyz,
+            features_dc=sh_lib.rgb_to_sh_dc(colors)[:, None, :],
+            features_rest=np.zeros((n, 3, 3), np.float32),
+            scaling=np.full((n, 3), -1.0, np.float32),
+            rotation=np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)),
+            opacity=opacity,
+            sh_degree=1,
+        )
+        cam = make_camera(32, 32)
+        cfg_small_chunk = CFG.replace(chunk=16)        # force chunk crossings
+        out = rasterize(g, cam, cfg_small_chunk)
+        ref = render_oracle(g, cam, tile_size=16)
+        np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                                   atol=1e-5)
+
 
 class TestBinning:
     def test_counts_and_order(self, scene):
