@@ -140,98 +140,97 @@ def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref, glogt_ref,
     dgeom_ref[0] = jnp.zeros((_GEOM_ROWS, cap), jnp.float32)
     drgbd_ref[0] = jnp.zeros((_RGBD_ROWS, cap), jnp.float32)
 
-    # ---- pass A: forward sweep recording chunk-start log T (full) -------
-    def run_scoped_body(carry_scratch):
-        def condA(state):
-            k, log_full = state
-            return (k < pl.cdiv(count, chunk)) & (jnp.max(log_full) >= LOG_T_EPS)
+    # ---- pass A: forward sweep to find k_stop and the final full log T ----
+    # (no scratch: pass B reconstructs each chunk's starting log T by
+    # subtracting the chunk's own sum(la) while walking backward — Mosaic
+    # disallows dynamic lane-indexed stores, and this is cheaper anyway)
+    def condA(state):
+        k, log_full = state
+        return (k < pl.cdiv(count, chunk)) & (jnp.max(log_full) >= LOG_T_EPS)
 
-        def bodyA(state):
-            k, log_full = state
-            carry_scratch[:, pl.ds(k, 1)] = log_full
-            sl = pl.ds(k * chunk, chunk)
-            alpha, _, _, _, _, _ = _chunk_alpha(
+    def bodyA(state):
+        k, log_full = state
+        sl = pl.ds(k * chunk, chunk)
+        alpha, _, _, _, _, _ = _chunk_alpha(
+            geom_ref, sl, px, py, count, k, chunk
+        )
+        la = jnp.log(1.0 - alpha)
+        return k + 1, log_full + jnp.sum(la, axis=1, keepdims=True)
+
+    k_stop, log_full_end = jax.lax.while_loop(
+        condA, bodyA, (jnp.int32(0), jnp.zeros((npix, 1), jnp.float32))
+    )
+
+    # ---- pass B: reverse sweep accumulating gradients ---------------------
+    gacc = gacc_ref[0]                       # (4, npix)
+    glogt = glogt_ref[0]                     # (npix, 1)
+
+    def bodyB(j, carry):
+        k = k_stop - 1 - j
+
+        def compute(carry):
+            s_carry, log_full_end = carry
+            sl = pl.ds(pl.multiple_of(k * chunk, chunk), chunk)
+            alpha, araw, expp, gate, unclamped, geo = _chunk_alpha(
                 geom_ref, sl, px, py, count, k, chunk
             )
+            dx, dy, ca, cb, cc = geo
             la = jnp.log(1.0 - alpha)
-            return k + 1, log_full + jnp.sum(la, axis=1, keepdims=True)
+            la_sum = jnp.sum(la, axis=1, keepdims=True)
+            log_full0 = log_full_end - la_sum
+            clog = log_full0 + jnp.dot(
+                la, tri, preferred_element_type=jnp.float32
+            )
+            applied = clog >= LOG_T_EPS
+            w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)
 
-        k_stop, _ = jax.lax.while_loop(
-            condA, bodyA, (jnp.int32(0), jnp.zeros((npix, 1), jnp.float32))
-        )
+            rgbd = rgbd_ref[0, :, sl]        # (4, G)
+            # dL/dw (npix, G) and dL/drgbd (4, G)
+            wbar = jax.lax.dot_general(
+                gacc, rgbd, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                # (npix, G)
+            drgbd = jax.lax.dot_general(
+                gacc, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                # (4, G)
+            drgbd_ref[0, :, sl] = drgbd
 
-        # ---- pass B: reverse sweep accumulating gradients ---------------
-        gacc = gacc_ref[0]                       # (4, npix)
-        glogt = glogt_ref[0]                     # (npix, 1)
+            m = wbar * w                     # (npix, G)
+            suffix = jnp.dot(m, tri_after, preferred_element_type=jnp.float32)
+            labar = suffix + s_carry + jnp.where(applied, glogt, 0.0)
+            t_prev = jnp.exp(clog - la)
+            abar = (
+                jnp.where(applied, wbar * t_prev, 0.0)
+                - labar / (1.0 - alpha)
+            )
+            dpow = jnp.where(unclamped, abar * araw, 0.0)
+            dopa = jnp.where(unclamped, abar * expp, 0.0)
+            dgeom_ref[0, _GX : _GX + 1, sl] = jnp.sum(
+                dpow * -(ca * dx + cb * dy), axis=0, keepdims=True
+            )
+            dgeom_ref[0, _GY : _GY + 1, sl] = jnp.sum(
+                dpow * -(cc * dy + cb * dx), axis=0, keepdims=True
+            )
+            dgeom_ref[0, _GA : _GA + 1, sl] = jnp.sum(
+                dpow * (-0.5 * dx * dx), axis=0, keepdims=True
+            )
+            dgeom_ref[0, _GB : _GB + 1, sl] = jnp.sum(
+                dpow * (-dx * dy), axis=0, keepdims=True
+            )
+            dgeom_ref[0, _GC : _GC + 1, sl] = jnp.sum(
+                dpow * (-0.5 * dy * dy), axis=0, keepdims=True
+            )
+            dgeom_ref[0, _GOPA : _GOPA + 1, sl] = jnp.sum(
+                dopa, axis=0, keepdims=True
+            )
+            return (s_carry + jnp.sum(m, axis=1, keepdims=True), log_full0)
 
-        def bodyB(j, s_carry):
-            k = k_stop - 1 - j
+        return jax.lax.cond(k >= 0, compute, lambda c: c, carry)
 
-            def compute(s_carry):
-                sl = pl.ds(k * chunk, chunk)
-                alpha, araw, expp, gate, unclamped, geo = _chunk_alpha(
-                    geom_ref, sl, px, py, count, k, chunk
-                )
-                dx, dy, ca, cb, cc = geo
-                la = jnp.log(1.0 - alpha)
-                log_full0 = carry_scratch[:, pl.ds(k, 1)]
-                clog = log_full0 + jnp.dot(
-                    la, tri, preferred_element_type=jnp.float32
-                )
-                applied = clog >= LOG_T_EPS
-                w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)
-
-                rgbd = rgbd_ref[0, :, sl]        # (4, G)
-                # dL/dw (npix, G) and dL/drgbd (4, G)
-                wbar = jax.lax.dot_general(
-                    gacc, rgbd, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                # (npix, G)
-                drgbd = jax.lax.dot_general(
-                    gacc, w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                # (4, G)
-                drgbd_ref[0, :, sl] = drgbd
-
-                m = wbar * w                     # (npix, G)
-                suffix = jnp.dot(m, tri_after, preferred_element_type=jnp.float32)
-                labar = suffix + s_carry + jnp.where(applied, glogt, 0.0)
-                t_prev = jnp.exp(clog - la)
-                abar = (
-                    jnp.where(applied, wbar * t_prev, 0.0)
-                    - labar / (1.0 - alpha)
-                )
-                dpow = jnp.where(unclamped, abar * araw, 0.0)
-                dopa = jnp.where(unclamped, abar * expp, 0.0)
-                dgeom_ref[0, _GX : _GX + 1, sl] = jnp.sum(
-                    dpow * -(ca * dx + cb * dy), axis=0, keepdims=True
-                )
-                dgeom_ref[0, _GY : _GY + 1, sl] = jnp.sum(
-                    dpow * -(cc * dy + cb * dx), axis=0, keepdims=True
-                )
-                dgeom_ref[0, _GA : _GA + 1, sl] = jnp.sum(
-                    dpow * (-0.5 * dx * dx), axis=0, keepdims=True
-                )
-                dgeom_ref[0, _GB : _GB + 1, sl] = jnp.sum(
-                    dpow * (-dx * dy), axis=0, keepdims=True
-                )
-                dgeom_ref[0, _GC : _GC + 1, sl] = jnp.sum(
-                    dpow * (-0.5 * dy * dy), axis=0, keepdims=True
-                )
-                dgeom_ref[0, _GOPA : _GOPA + 1, sl] = jnp.sum(
-                    dopa, axis=0, keepdims=True
-                )
-                return s_carry + jnp.sum(m, axis=1, keepdims=True)
-
-            return jax.lax.cond(k >= 0, compute, lambda s: s, s_carry)
-
-        jax.lax.fori_loop(
-            0, n_chunks_cap, bodyB, jnp.zeros((npix, 1), jnp.float32)
-        )
-
-    pl.run_scoped(
-        run_scoped_body,
-        carry_scratch=pltpu.VMEM((npix, cap // chunk), jnp.float32),
+    jax.lax.fori_loop(
+        0, n_chunks_cap, bodyB,
+        (jnp.zeros((npix, 1), jnp.float32), log_full_end),
     )
 
 
