@@ -69,12 +69,15 @@ def main() -> None:
 
     fwd_bwd = jax.jit(jax.grad(step))
     tau = jnp.zeros(6)
-    jax.block_until_ready(fwd_bwd(tau))  # compile
+    # chain iterations through a data dependency and force a host fetch at
+    # the end: the tunneled TPU runtime executes lazily, so block_until_ready
+    # alone under-reports (see .claude memory axon-tpu-env)
+    float(fwd_bwd(tau)[0])  # compile + settle
     iters = 20
     t0 = time.time()
     for _ in range(iters):
-        out = fwd_bwd(tau)
-    jax.block_until_ready(out)
+        tau = fwd_bwd(tau) * 1e-12
+    _ = float(tau[0])
     dt = (time.time() - t0) / iters
     mpix_s = W * H / dt / 1e6
     baseline_mpix_s = 10.0

@@ -1,0 +1,135 @@
+"""Localization pipeline: trained map + init poses -> refined poses + metrics.
+
+Mirrors /root/reference/gs_localization/pipelines/7scenes_localize_full_dslam.py:
+load the map PLY, read PnP init poses (results file), per query build the
+edge/keypoint mask, run the Adam + SE(3)-retraction refinement, report the
+median / threshold-recall pose metrics. Queries are refined in BATCHES via
+vmap (optionally sharded across a mesh) — the reference loops one query at a
+time on one GPU.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera, quat_to_rotmat, w2c_from_quat_t
+from ..core.gaussians import GaussianParams
+from ..data.ply import load_gaussian_ply
+from ..loc import TrackingConfig, refine_poses_batch
+from ..ops.image import compute_grad_mask, keypoint_box_mask
+from ..raster import RasterizerConfig
+from ..sfm.evaluate import pose_errors, summarize_errors
+from ..sfm.io import read_pose_results
+
+
+@dataclass
+class LocalizePipelineConfig:
+    batch_size: int = 8
+    edge_threshold: float = 1.1
+    keypoint_box: int = 10
+    keypoint_score_min: float = 0.2
+    tracking: TrackingConfig = TrackingConfig()
+    use_keypoint_mask: bool = True
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    camera: Camera                     # intrinsics + INIT pose (w2c)
+    image: np.ndarray                  # (H, W, 3)
+    depth: Optional[np.ndarray] = None
+    keypoints: Optional[np.ndarray] = None   # (N, 2) px
+    gt_w2c: Optional[np.ndarray] = None      # (4, 4)
+
+
+def build_mask(
+    image: np.ndarray, cfg: LocalizePipelineConfig,
+    keypoints: Optional[np.ndarray],
+) -> jnp.ndarray:
+    mask = compute_grad_mask(jnp.asarray(image), cfg.edge_threshold)
+    if cfg.use_keypoint_mask and keypoints is not None and len(keypoints):
+        h, w = image.shape[:2]
+        kp = keypoint_box_mask(jnp.asarray(keypoints), w, h, cfg.keypoint_box)
+        mask = mask | kp
+    return mask
+
+
+def localize_queries(
+    gaussians: GaussianParams,
+    queries: Sequence[QuerySpec],
+    cfg: LocalizePipelineConfig = LocalizePipelineConfig(),
+    raster_cfg: RasterizerConfig = RasterizerConfig(),
+    log_fn: Callable[[str], None] = print,
+) -> Tuple[Dict[str, np.ndarray], Optional[dict]]:
+    """Refine all queries. Returns ({name: w2c 4x4}, metrics|None)."""
+    results: Dict[str, np.ndarray] = {}
+    errs_t: List[float] = []
+    errs_r: List[float] = []
+
+    b = cfg.batch_size
+    n = len(queries)
+    for lo in range(0, n, b):
+        batch = list(queries[lo : lo + b])
+        pad = b - len(batch)
+        batch = batch + [batch[-1]] * pad          # pad with a repeat
+        cams = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[q.camera for q in batch]
+        )
+        imgs = jnp.stack([jnp.asarray(q.image) for q in batch])
+        masks = jnp.stack([build_mask(q.image, cfg, q.keypoints)
+                           for q in batch])
+        deps = None
+        if not cfg.tracking.monocular:
+            deps = jnp.stack([
+                jnp.asarray(q.depth if q.depth is not None
+                            else np.zeros(q.image.shape[:2], np.float32))
+                for q in batch])
+        res = refine_poses_batch(
+            gaussians, cams, imgs, masks, cfg.tracking, raster_cfg,
+            gt_depths=deps,
+        )
+        w2cs = np.asarray(res.w2c)
+        for j, q in enumerate(batch[: b - pad if pad else b]):
+            results[q.name] = w2cs[j]
+            if q.gt_w2c is not None:
+                et, er = pose_errors(
+                    w2cs[j, :3, :3], w2cs[j, :3, 3],
+                    q.gt_w2c[:3, :3], q.gt_w2c[:3, 3],
+                )
+                errs_t.append(float(et))
+                errs_r.append(float(er))
+        log_fn(f"localized {min(lo + b, n)}/{n}")
+
+    metrics = None
+    if errs_t:
+        metrics = summarize_errors(np.array(errs_t), np.array(errs_r))
+        log_fn(
+            f"median err: {metrics['median_trans_m']*100:.2f} cm / "
+            f"{metrics['median_rot_deg']:.3f} deg over {len(errs_t)} queries"
+        )
+    return results, metrics
+
+
+def load_map(path: str, capacity: Optional[int] = None) -> GaussianParams:
+    """Load a trained map PLY (the reference's gs_map/iteration_30000)."""
+    return load_gaussian_ply(path, capacity=capacity)
+
+
+def init_camera_from_results(
+    name: str, results_path_poses: Dict[str, tuple], fx, fy, cx, cy,
+    width: int, height: int,
+) -> Camera:
+    q, t = results_path_poses[name]
+    return Camera(
+        w2c=w2c_from_quat_t(jnp.asarray(q, jnp.float32),
+                            jnp.asarray(t, jnp.float32)),
+        fx=jnp.float32(fx), fy=jnp.float32(fy),
+        cx=jnp.float32(cx), cy=jnp.float32(cy),
+        width=width, height=height,
+    )

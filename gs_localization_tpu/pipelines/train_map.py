@@ -1,0 +1,142 @@
+"""Map-training pipeline: COLMAP scene -> trained Gaussian map (PLY).
+
+Host loop mirroring the reference training driver
+(/root/reference/gs_localization/gs/7scenes_gs_full_dslam.py:93-246 and
+gaussian_splatting/train.py:32-161): random camera per iteration, SH degree
+bump every 1000 iters, densify every ``densification_interval`` in
+[densify_from, densify_until], opacity reset every ``opacity_reset_interval``,
+periodic held-out evaluation, PLY snapshots.
+
+The device work (render + loss + Adam) is one jitted ``train_step``;
+densify/prune/reset are separate jitted calls. Images are cached host-side.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.gaussians import GaussianParams
+from ..data.ply import save_gaussian_ply
+from ..data.scene import SceneInfo, load_image, load_depth
+from ..mapping import (
+    MapTrainConfig, densify_and_prune, init_training, reset_opacity,
+    train_step,
+)
+from ..mapping.losses import psnr
+from ..raster import RasterizerConfig, rasterize
+
+
+@dataclass
+class TrainPipelineConfig:
+    iterations: int = 30_000
+    sh_degree: int = 3
+    capacity_multiplier: float = 4.0     # capacity = mult * init points
+    densify_from: int = 500
+    densify_until: int = 15_000
+    densification_interval: int = 100
+    densify_grad_threshold: float = 2e-4
+    opacity_reset_interval: int = 3_000
+    min_opacity: float = 0.005
+    percent_dense: float = 0.01
+    sh_up_interval: int = 1_000
+    test_iterations: Sequence[int] = (3000, 7000, 10000, 15000, 20000, 25000, 30000)
+    save_iterations: Sequence[int] = (7000, 30000)
+    max_screen_size: float = 20.0
+    log_every: int = 500
+    seed: int = 0
+
+
+def train_map(
+    scene: SceneInfo,
+    out_dir: Optional[str] = None,
+    cfg: TrainPipelineConfig = TrainPipelineConfig(),
+    map_cfg: MapTrainConfig = None,
+    raster_cfg: RasterizerConfig = None,
+    image_loader: Optional[Callable] = None,
+    log_fn: Callable[[str], None] = print,
+) -> GaussianParams:
+    """Train a Gaussian map. ``image_loader(cam_info) -> (rgb, depth|None)``
+    defaults to reading from cam_info.image_path/depth_path."""
+    if map_cfg is None:
+        map_cfg = MapTrainConfig(spatial_scale=scene.extent)
+    if raster_cfg is None:
+        raster_cfg = RasterizerConfig()
+    if image_loader is None:
+        cache: Dict[int, tuple] = {}
+
+        def image_loader(info):
+            if info.uid not in cache:
+                img = load_image(info.image_path)
+                dep = load_depth(info.depth_path) if info.depth_path and \
+                    os.path.exists(info.depth_path) else None
+                cache[info.uid] = (img, dep)
+            return cache[info.uid]
+
+    capacity = max(int(scene.points.shape[0] * cfg.capacity_multiplier), 1024)
+    gaussians = GaussianParams.from_pcd(
+        scene.points, scene.colors, sh_degree=cfg.sh_degree, capacity=capacity
+    )
+    state = init_training(gaussians, map_cfg, seed=cfg.seed)
+    rng = np.random.default_rng(cfg.seed)
+    train_cams = scene.train_cameras
+    t0 = time.time()
+
+    for it in range(1, cfg.iterations + 1):
+        if it % cfg.sh_up_interval == 0:
+            state = state.replace(
+                gaussians=state.gaussians.one_up_sh_degree())
+        info = train_cams[rng.integers(len(train_cams))]
+        img, dep = image_loader(info)
+        state, aux = train_step(
+            state, info.camera, jnp.asarray(img), map_cfg, raster_cfg,
+            gt_depth=None if dep is None else jnp.asarray(dep),
+        )
+
+        if it < cfg.densify_until and it > cfg.densify_from \
+                and it % cfg.densification_interval == 0:
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), it)
+            size_thr = (cfg.max_screen_size
+                        if it > cfg.opacity_reset_interval else None)
+            g2, d2, opt2, report = densify_and_prune(
+                state.gaussians, state.densify, state.opt_state, key,
+                grad_threshold=cfg.densify_grad_threshold,
+                min_opacity=cfg.min_opacity,
+                extent=scene.extent,
+                max_screen_size=size_thr,
+                percent_dense=cfg.percent_dense,
+            )
+            state = state.replace(gaussians=g2, densify=d2, opt_state=opt2)
+
+        if it % cfg.opacity_reset_interval == 0:
+            g2, opt2 = reset_opacity(state.gaussians, state.opt_state)
+            state = state.replace(gaussians=g2, opt_state=opt2)
+
+        if it % cfg.log_every == 0:
+            log_fn(f"[{it}] loss={float(aux['total']):.5f} "
+                   f"live={int(state.gaussians.num_live)} "
+                   f"({(time.time()-t0)/cfg.log_every*1000:.0f} ms/it)")
+            t0 = time.time()
+
+        if it in cfg.test_iterations and scene.test_cameras:
+            vals = []
+            for tinfo in scene.test_cameras[:8]:
+                timg, _ = image_loader(tinfo)
+                out = rasterize(state.gaussians, tinfo.camera, raster_cfg)
+                vals.append(float(psnr(out.color, jnp.asarray(timg))))
+            log_fn(f"[{it}] test PSNR {np.mean(vals):.2f}")
+
+        if out_dir and it in cfg.save_iterations:
+            d = os.path.join(out_dir, f"gs_map/iteration_{it}")
+            os.makedirs(d, exist_ok=True)
+            save_gaussian_ply(os.path.join(d, "point_cloud.ply"),
+                              state.gaussians)
+            log_fn(f"[{it}] saved map to {d}")
+
+    return state.gaussians

@@ -326,28 +326,22 @@ def blend_tiles_pallas(
     assert cap % chunk == 0, (cap, chunk)
     npix = tile_size * tile_size
 
-    gid = tile_gid
-    valid = (
-        jax.lax.broadcasted_iota(jnp.int32, gid.shape, 1)
-        < tile_counts[:, None]
-    )
-    # struct-of-rows gather: pair axis on lanes
-    geom = jnp.stack(
+    # ONE packed row gather (12 scalar gathers are ~12x the HBM trips), then
+    # a transpose to the struct-of-rows layout the kernel wants (pair axis on
+    # lanes). Per-pair validity is handled in-kernel via lane < count.
+    ones = jnp.ones_like(opacity)
+    pack = jnp.stack(
         [
-            means2d[gid, 0],
-            means2d[gid, 1],
-            conic[gid, 0],
-            conic[gid, 1],
-            conic[gid, 2],
-            opacity[gid],
-            valid.astype(jnp.float32),
-            jnp.zeros_like(opacity[gid]),
+            means2d[:, 0], means2d[:, 1],
+            conic[:, 0], conic[:, 1], conic[:, 2],
+            opacity, ones, jnp.zeros_like(opacity),
+            rgb[:, 0], rgb[:, 1], rgb[:, 2], depths,
         ],
         axis=1,
-    )                                            # (T, 8, cap)
-    rgbd = jnp.stack(
-        [rgb[gid, 0], rgb[gid, 1], rgb[gid, 2], depths[gid]], axis=1
-    )                                            # (T, 4, cap)
+    )                                            # (P, 12)
+    gathered = jnp.swapaxes(pack[tile_gid], 1, 2)  # (T, 12, cap)
+    geom = gathered[:, :_GEOM_ROWS, :]
+    rgbd = gathered[:, _GEOM_ROWS:, :]
 
     core = _make_core(num_tiles, grid_x, tile_size, cap, chunk, interpret)
     accum, logt = core(tile_counts, geom, rgbd)
