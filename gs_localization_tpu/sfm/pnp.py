@@ -183,8 +183,8 @@ def pnp_ransac(
             best_R, best_t, best_inl = R[j], t[j], inl[j]
         total += batch
         # stop when confident
-        w = max(best_count / n, 1e-9)
-        needed = np.log(1 - confidence) / np.log(1 - w**sample_size + 1e-300)
+        w = min(max(best_count / n, 1e-9), 1.0 - 1e-9)
+        needed = np.log(1 - confidence) / np.log(1 - w**sample_size)
         if total >= min(needed, max_hypotheses):
             break
 

@@ -1,0 +1,186 @@
+"""SfM front-end: PnP-RANSAC, retrieval, features, matching, triangulation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from gs_localization_tpu.core.camera import quat_to_rotmat
+from gs_localization_tpu.sfm import (
+    pnp_ransac, pose_errors, read_pose_results, summarize_errors,
+    top_k_retrieval, write_pose_results,
+)
+from gs_localization_tpu.sfm.features import (
+    extract_harris_features, rgb_to_gray, tiny_image_descriptor,
+)
+from gs_localization_tpu.sfm.matching import match_mutual_nn
+from gs_localization_tpu.sfm.triangulate import (
+    build_tracks, correct_points_with_depth, triangulate_tracks,
+)
+
+
+def _project(X, R, t, K):
+    Xc = X @ R.T + t
+    uv = Xc[:, :2] / Xc[:, 2:]
+    return uv * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+
+
+class TestPnP:
+    def _scene(self, rng, n=200, outlier_frac=0.3, noise=0.5):
+        X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                      rng.uniform(3, 8, n)], 1)
+        R = Rotation.from_rotvec([0.1, -0.2, 0.05]).as_matrix()
+        t = np.array([0.2, -0.1, 0.3])
+        K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+        uv = _project(X, R, t, K) + noise * rng.standard_normal((n, 2))
+        n_out = int(outlier_frac * n)
+        uv[:n_out] = rng.uniform(0, 640, (n_out, 2))
+        return X, uv, R, t, K
+
+    def test_recovers_pose_with_outliers(self, rng):
+        X, uv, R, t, K = self._scene(rng)
+        res = pnp_ransac(uv, X, K, max_error_px=6.0, seed=1)
+        assert res.success
+        R_est = quat_to_rotmat(jnp.asarray(res.qvec, jnp.float32))
+        et, er = pose_errors(np.asarray(R_est), res.tvec, R, t)
+        assert et < 0.02, et
+        assert er < 0.3, er
+        assert res.num_inliers > 120
+
+    def test_fails_gracefully_few_points(self, rng):
+        res = pnp_ransac(np.zeros((4, 2)), np.zeros((4, 3)), np.eye(3))
+        assert not res.success
+
+    def test_all_outliers_rejected(self, rng):
+        X = rng.uniform(-2, 2, (50, 3)) + [0, 0, 5]
+        uv = rng.uniform(0, 640, (50, 2))
+        K = np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]])
+        res = pnp_ransac(uv, X, K, max_error_px=2.0, min_inliers=15,
+                         max_hypotheses=512)
+        assert not res.success or res.num_inliers < 25
+
+
+class TestRetrieval:
+    def test_topk(self, rng):
+        db = rng.standard_normal((20, 64)).astype(np.float32)
+        q = db[[3, 7]] + 0.01 * rng.standard_normal((2, 64)).astype(np.float32)
+        idx, scores = top_k_retrieval(q, db, k=3)
+        assert idx[0, 0] == 3 and idx[1, 0] == 7
+        assert np.all(np.diff(scores, axis=1) <= 0)
+
+    def test_self_masking(self, rng):
+        db = rng.standard_normal((5, 16)).astype(np.float32)
+        idx, _ = top_k_retrieval(db, db, k=2,
+                                 query_names=[f"i{i}" for i in range(5)],
+                                 db_names=[f"i{i}" for i in range(5)])
+        assert all(idx[i, 0] != i for i in range(5))
+
+
+class TestResultsIO:
+    def test_roundtrip(self, tmp_path):
+        poses = {"a.png": (np.array([0.9, 0.1, 0.0, 0.42]),
+                           np.array([1.0, -2.0, 3.0]))}
+        p = str(tmp_path / "results.txt")
+        write_pose_results(p, poses)
+        back = read_pose_results(p)
+        np.testing.assert_allclose(back["a.png"][0], poses["a.png"][0])
+        np.testing.assert_allclose(back["a.png"][1], poses["a.png"][1])
+
+
+def _checkerboard(rng, h=96, w=128, n_blobs=40):
+    img = np.zeros((h, w), np.float32)
+    ys = rng.integers(10, h - 10, n_blobs)
+    xs = rng.integers(10, w - 10, n_blobs)
+    for y, x in zip(ys, xs):
+        img[y - 3 : y + 3, x - 3 : x + 3] = rng.uniform(0.5, 1.0)
+    return img
+
+
+class TestFeatures:
+    def test_detects_corners(self, rng):
+        img = _checkerboard(rng)
+        feats = extract_harris_features(jnp.asarray(img), num_keypoints=128)
+        n_valid = int((feats.scores > 0).sum())
+        assert n_valid > 30
+        kps = np.asarray(feats.keypoints[feats.scores > 0])
+        assert np.all(kps >= 0)
+        d = np.asarray(feats.descriptors[feats.scores > 0])
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
+
+    def test_shifted_image_matches(self, rng):
+        img = _checkerboard(rng)
+        img2 = np.roll(img, (3, 5), axis=(0, 1))
+        f1 = extract_harris_features(jnp.asarray(img), num_keypoints=128)
+        f2 = extract_harris_features(jnp.asarray(img2), num_keypoints=128)
+        m = match_mutual_nn(f1.descriptors, f2.descriptors,
+                            f1.scores > 0, f2.scores > 0)
+        mi = np.asarray(m.matches0)
+        ok = mi >= 0
+        assert ok.sum() > 20
+        kp1 = np.asarray(f1.keypoints)[ok]
+        kp2 = np.asarray(f2.keypoints)[mi[ok]]
+        shift = kp2 - kp1
+        med = np.median(shift, axis=0)
+        np.testing.assert_allclose(med, [5, 3], atol=1.0)
+
+    def test_tiny_descriptor_retrieval(self, rng):
+        imgs = [np.tile(_checkerboard(rng)[..., None], (1, 1, 3))
+                for _ in range(6)]
+        descs = np.stack([np.asarray(tiny_image_descriptor(jnp.asarray(i)))
+                          for i in imgs])
+        # a noisy copy of image 2 retrieves image 2
+        q = imgs[2] + 0.02 * rng.standard_normal(imgs[2].shape).astype(np.float32)
+        qd = np.asarray(tiny_image_descriptor(jnp.asarray(q)))[None]
+        idx, _ = top_k_retrieval(qd, descs, k=1)
+        assert idx[0, 0] == 2
+
+
+class TestTriangulation:
+    def test_synthetic_tracks(self, rng):
+        n_pts, n_views = 30, 4
+        X = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
+                      rng.uniform(4, 6, n_pts)], 1)
+        K = np.array([[400.0, 0, 64], [0, 400, 48], [0, 0, 1]])
+        w2cs, kps = [], []
+        for v in range(n_views):
+            R = Rotation.from_rotvec([0, 0.15 * (v - 1.5), 0]).as_matrix()
+            t = np.array([0.4 * (v - 1.5), 0, 0.1 * v])
+            w2c = np.eye(4)
+            w2c[:3, :3] = R
+            w2c[:3, 3] = t
+            w2cs.append(w2c)
+            kps.append(_project(X, R, t, K)
+                       + 0.2 * rng.standard_normal((n_pts, 2)))
+        w2cs = np.stack(w2cs)
+        Ks = np.tile(K[None], (n_views, 1, 1))
+        # perfect matches between consecutive views (kp index == point index)
+        pair_matches = {
+            (v, v + 1): np.stack([np.arange(n_pts)] * 2, 1)
+            for v in range(n_views - 1)
+        }
+        tracks = build_tracks(n_views, [n_pts] * n_views, pair_matches)
+        assert tracks.num_tracks == n_pts
+        xyz, valid = triangulate_tracks(tracks, kps, w2cs, Ks)
+        assert valid.sum() >= n_pts - 2
+        order = np.argsort(xyz[valid][:, 0])
+        err = np.abs(np.sort(xyz[valid][:, 0]) - np.sort(X[:, 0][: valid.sum()]))
+        # match triangulated to gt by track -> point identity
+        # track t corresponds to point t here (single-component tracks)
+        d = np.linalg.norm(xyz[valid] - X[valid], axis=1)
+        assert np.median(d) < 0.02
+
+    def test_depth_correction(self, rng):
+        # one point, one view, known depth map: point snaps onto the surface
+        X = np.array([[0.0, 0.0, 5.0]])
+        K = np.array([[100.0, 0, 32], [0, 100, 24], [0, 0, 1]])
+        w2c = np.eye(4)[None]
+        kp = _project(X, np.eye(3), np.zeros(3), K)
+        depth = np.full((48, 64), 4.5, np.float32)  # surface closer than 5.0
+        tracks = build_tracks(1, [1], {(0, 0): np.zeros((0, 2), int)})
+        # build a manual track with one observation
+        from gs_localization_tpu.sfm.triangulate import Tracks
+        tracks = Tracks(np.array([0]), np.array([0]), np.array([0]), 1)
+        out, has = correct_points_with_depth(
+            X + [0.0, 0.0, 0.3], tracks, w2c, K[None], [depth])
+        assert has[0]
+        np.testing.assert_allclose(out[0, 2], 4.5, atol=1e-3)
