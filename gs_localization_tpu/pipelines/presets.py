@@ -1,0 +1,67 @@
+"""Per-dataset configuration presets.
+
+The reference encodes these as copy-pasted per-dataset scripts (SURVEY.md
+§2.7); here they are data:
+
+- 7-Scenes (RGB-D): tracking <=50 Adam iters @ lr 1e-3, converge 1e-4,
+  RGBD loss with depth weight 1-alpha = 0.01, opacity threshold 0.99, edge
+  threshold 1.1 (pipelines/7scenes_localize_full_dslam.py:33-66, 297,
+  323-324); map training sh_degree 3 (implicit), 30k iters.
+- Cambridge (RGB): tracking <=20 iters @ lr 1e-4, converge 1e-3, monocular
+  loss, per-query PINHOLE intrinsics (pipelines/cambridge_localize_full.py:
+  36-87, 199-234); map training sh_degree 1, pseudo-depth weight 0.005
+  (gs/cambridge_gs_full.py:134-165, 332).
+"""
+
+from __future__ import annotations
+
+from ..loc import TrackingConfig
+from ..mapping import MapTrainConfig
+from .localize import LocalizePipelineConfig
+from .train_map import TrainPipelineConfig
+
+
+def seven_scenes_tracking() -> TrackingConfig:
+    return TrackingConfig(
+        num_iters=50, lr=1e-3, convergence=1e-4,
+        opacity_threshold=0.99, alpha=0.99, monocular=False,
+    )
+
+
+def cambridge_tracking() -> TrackingConfig:
+    return TrackingConfig(
+        num_iters=20, lr=1e-4, convergence=1e-3,
+        opacity_threshold=0.99, monocular=True,
+    )
+
+
+def seven_scenes_localize() -> LocalizePipelineConfig:
+    return LocalizePipelineConfig(
+        edge_threshold=1.1, keypoint_box=10, keypoint_score_min=0.2,
+        tracking=seven_scenes_tracking(),
+    )
+
+
+def cambridge_localize() -> LocalizePipelineConfig:
+    return LocalizePipelineConfig(
+        edge_threshold=1.1, keypoint_box=10, keypoint_score_min=0.2,
+        tracking=cambridge_tracking(),
+    )
+
+
+def seven_scenes_training() -> TrainPipelineConfig:
+    return TrainPipelineConfig(iterations=30_000, sh_degree=3)
+
+
+def cambridge_training() -> TrainPipelineConfig:
+    return TrainPipelineConfig(iterations=30_000, sh_degree=1)
+
+
+def seven_scenes_map_cfg(extent: float) -> MapTrainConfig:
+    return MapTrainConfig(spatial_scale=extent, lambda_gt_depth=0.05,
+                          lambda_pseudo_depth=0.01)
+
+
+def cambridge_map_cfg(extent: float) -> MapTrainConfig:
+    return MapTrainConfig(spatial_scale=extent, lambda_gt_depth=0.0,
+                          lambda_pseudo_depth=0.005)
