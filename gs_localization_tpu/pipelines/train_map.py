@@ -33,6 +33,34 @@ from ..mapping.losses import psnr
 from ..raster import RasterizerConfig, rasterize
 
 
+def _default_loader():
+    """Prefer the native threaded decoder; fall back to PIL with a dict cache."""
+    try:
+        from ..data.native_loader import NativeLoader, PrefetchingSceneLoader
+
+        if NativeLoader.available():
+            pl = PrefetchingSceneLoader(n_threads=4)
+
+            def loader(info):
+                pl.request(info.uid, info.image_path, info.depth_path)
+                return pl.get(info.uid)
+
+            return loader
+    except Exception:
+        pass
+    cache: Dict[int, tuple] = {}
+
+    def loader(info):
+        if info.uid not in cache:
+            img = load_image(info.image_path)
+            dep = load_depth(info.depth_path) if info.depth_path and \
+                os.path.exists(info.depth_path) else None
+            cache[info.uid] = (img, dep)
+        return cache[info.uid]
+
+    return loader
+
+
 @dataclass
 class TrainPipelineConfig:
     iterations: int = 30_000
@@ -69,15 +97,7 @@ def train_map(
     if raster_cfg is None:
         raster_cfg = RasterizerConfig()
     if image_loader is None:
-        cache: Dict[int, tuple] = {}
-
-        def image_loader(info):
-            if info.uid not in cache:
-                img = load_image(info.image_path)
-                dep = load_depth(info.depth_path) if info.depth_path and \
-                    os.path.exists(info.depth_path) else None
-                cache[info.uid] = (img, dep)
-            return cache[info.uid]
+        image_loader = _default_loader()
 
     capacity = max(int(scene.points.shape[0] * cfg.capacity_multiplier), 1024)
     gaussians = GaussianParams.from_pcd(

@@ -76,7 +76,7 @@ def bin_gaussians(
     mark = jnp.zeros((max_pairs,), jnp.int32).at[starts[:p]].max(
         jnp.arange(p, dtype=jnp.int32), mode="drop"
     )
-    gsrt = jax.lax.associative_scan(jnp.maximum, mark)
+    gsrt = jax.lax.cummax(mark)
 
     # packed per-gaussian expansion table, gathered once per pair:
     # [x0, y0, rect_w, start, original_gid]

@@ -82,12 +82,16 @@ def blend_tiles(
     grid_y: int,
     tile_size: int,
     chunk: int = 64,
+    pix: jnp.ndarray = None,
 ) -> TileBlendOut:
+    """``pix`` overrides the per-tile pixel coordinates — used by the
+    tile-sharded path where rows are a local slice of the global grid."""
     num_tiles, max_per_tile = tile_gid.shape
     assert max_per_tile % chunk == 0, (max_per_tile, chunk)
     n_chunks = max_per_tile // chunk
     npix = tile_size * tile_size
-    pix = tile_pixel_coords(grid_x, grid_y, tile_size)   # (T, npix, 2)
+    if pix is None:
+        pix = tile_pixel_coords(grid_x, grid_y, tile_size)  # (T, npix, 2)
 
     gid_c = tile_gid.reshape(num_tiles, n_chunks, chunk).swapaxes(0, 1)
     mask_c = tile_mask.reshape(num_tiles, n_chunks, chunk).swapaxes(0, 1)

@@ -81,3 +81,42 @@ class TestDP:
                                    atol=1e-5)
         np.testing.assert_array_equal(np.asarray(res.num_iters),
                                       np.asarray(ref.num_iters))
+
+
+@needs_8
+class TestTileShard:
+    def test_forward_and_grads_match_unsharded(self, rng):
+        from gs_localization_tpu.parallel.tile_shard import rasterize_tile_sharded
+
+        g = random_scene(rng, n=150, sh_degree=1)
+        # 64x128 image -> 4x8=32 tiles, divisible by 8 devices
+        cam = make_camera(128, 64)
+        mesh = make_mesh(8)
+        cfg = CFG
+
+        out_s = jax.jit(
+            lambda g_: rasterize_tile_sharded(mesh, g_, cam, cfg)
+        )(g)
+        out_r = rasterize(g, cam, cfg)
+        np.testing.assert_allclose(np.asarray(out_s.color),
+                                   np.asarray(out_r.color), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_s.depth),
+                                   np.asarray(out_r.depth), atol=1e-4)
+
+        def loss_sharded(g_, tau):
+            out = rasterize_tile_sharded(mesh, g_, cam.with_delta(tau), cfg)
+            return jnp.sum(out.color**2) + 0.1 * jnp.sum(out.depth**2)
+
+        def loss_ref(g_, tau):
+            out = rasterize(g_, cam.with_delta(tau), cfg)
+            return jnp.sum(out.color**2) + 0.1 * jnp.sum(out.depth**2)
+
+        tau0 = jnp.zeros(6)
+        gs_, ts_ = jax.grad(loss_sharded, argnums=(0, 1), allow_int=True)(g, tau0)
+        gr_, tr_ = jax.grad(loss_ref, argnums=(0, 1), allow_int=True)(g, tau0)
+        np.testing.assert_allclose(np.asarray(ts_), np.asarray(tr_),
+                                   rtol=1e-4, atol=1e-4)
+        for name in ["xyz", "scaling", "opacity", "features_dc"]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(gs_, name)), np.asarray(getattr(gr_, name)),
+                atol=1e-4, rtol=1e-3, err_msg=name)
