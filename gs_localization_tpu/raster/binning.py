@@ -76,7 +76,9 @@ def bin_gaussians(
     mark = jnp.zeros((max_pairs,), jnp.int32).at[starts[:p]].max(
         jnp.arange(p, dtype=jnp.int32), mode="drop"
     )
-    gsrt = jax.lax.cummax(mark)
+    # NOTE: lax.cummax lowers to a 715ms serial loop on v5e for 2M elements;
+    # associative_scan's log-depth expansion is ~100x faster in-context.
+    gsrt = jax.lax.associative_scan(jnp.maximum, mark)
 
     # packed per-gaussian expansion table, gathered once per pair:
     # [x0, y0, rect_w, start, original_gid]

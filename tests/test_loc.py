@@ -103,3 +103,24 @@ class TestRefine:
             t_est = -R_est.T @ res.w2c[i, :3, 3]
             t_err = float(jnp.linalg.norm(t_est - cam_gt.campos))
             assert t_err < 0.02, (i, t_err)
+
+
+class TestUndistort:
+    def test_identity_when_no_distortion(self, rng):
+        from gs_localization_tpu.ops.undistort import undistort_image
+        img = jnp.asarray(rng.uniform(0, 1, (24, 32, 3)), jnp.float32)
+        out = undistort_image(img, 30.0, 30.0, 16.0, 12.0, [0, 0, 0, 0])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+    def test_matches_cv2_when_available(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        from gs_localization_tpu.ops.undistort import undistort_image
+        img = rng.uniform(0, 1, (48, 64)).astype(np.float32)
+        K = np.array([[50.0, 0, 32], [0, 50, 24], [0, 0, 1]])
+        dist = np.array([-0.2, 0.05, 0.001, -0.001])
+        ref = cv2.undistort(img, K, dist)
+        out = np.asarray(undistort_image(jnp.asarray(img), 50.0, 50.0,
+                                         32.0, 24.0, dist))
+        # compare interior (cv2 border handling differs; cv2 remap uses
+        # 5-bit fixed-point bilinear weights -> small per-pixel deltas)
+        np.testing.assert_allclose(out[8:-8, 8:-8], ref[8:-8, 8:-8], atol=3e-2)
