@@ -3,24 +3,27 @@
 The reference does this with dynamic allocation + a device-wide 64-bit CUB
 radix sort over (tileID << 32 | float_bits(depth)) keys and a host sync for
 ``num_rendered`` (rasterizer_impl.cu:70-138, 278-309). The TPU-native design
-removes the 64-bit sort, the host sync, and every slow XLA op on the
-pair-expansion path (measured on v5e):
+removes the 64-bit sort, the host sync, and — after profiling v5e — every
+slow XLA op on the pair path (1M-query searchsorted >100 ms, lax.cummax
+~700 ms, per-pair row gathers ~10x a sort):
 
-1. argsort Gaussians by **bitcast-int32** view depth (float sorts are slower
-   on TPU; positive IEEE floats order correctly as ints).
-2. expand (Gaussian x tile) pairs in depth order. The pair -> Gaussian
-   ownership map is a scatter of P start marks + an associative-scan
-   running max — O(MP log MP) elementwise, replacing a 1M-query
-   searchsorted that costs >100 ms on TPU.
-3. per-Gaussian expansion data rides ONE packed (P, 5) int32 row gather.
-4. one stable int32 sort of pairs by tile id; stability preserves depth
-   order within tiles, so a 32-bit key suffices.
-5. per-tile [start, count) via small-query searchsorted, then a padded
-   (num_tiles, max_per_tile) index matrix for the blend stage.
+1. argsort Gaussians by **bitcast-int32** view depth (positive IEEE floats
+   order correctly as ints; float sorts are slower).
+2. **offset-major pair expansion**: Gaussian s emits its k-th covered tile
+   for k < fast_k directly into a dense (P, fast_k) matrix — pure
+   vectorized arithmetic on the (already gathered) rects, no ownership
+   map at all. The rare Gaussians covering > fast_k tiles go through a
+   small scatter + associative-scan(max) ownership path of static capacity
+   ``max_pairs_slow``.
+3. pairs sort once by a **packed int32 key** ``tile * R + depth_rank``
+   (R = next pow2 >= P). One single-operand int32 sort; the depth rank
+   rides in the key so no stable 2-operand sort is needed and the original
+   Gaussian id is recovered with one gather.
+4. per-tile [start, count) via a 1201-query searchsorted on the key
+   boundaries, then a padded (num_tiles, max_per_tile) index matrix.
 
-All shapes are static (``max_pairs``, ``max_per_tile`` are config); overflow
-is reported as a scalar, and truncation drops the farthest pairs (depth-
-ordered expansion makes truncation graceful).
+All shapes static; overflow (slow-path capacity) is reported as a scalar,
+and truncation drops the farthest pairs of the largest Gaussians only.
 """
 
 from __future__ import annotations
@@ -40,7 +43,14 @@ class Binning(NamedTuple):
     tile_mask: jnp.ndarray    # (num_tiles, max_per_tile) bool
     tile_counts: jnp.ndarray  # (num_tiles,) int32 (clipped to max_per_tile)
     num_rendered: jnp.ndarray  # () int32 total pairs (pre-cap)
-    overflow: jnp.ndarray     # () bool — pair capacity exceeded
+    overflow: jnp.ndarray     # () bool — slow-path pair capacity exceeded
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
 
 
 def bin_gaussians(
@@ -49,9 +59,16 @@ def bin_gaussians(
     grid_y: int,
     max_pairs: int,
     max_per_tile: int,
+    fast_k: int = 8,
 ) -> Binning:
     p = prep.depths.shape[0]
     num_tiles = grid_x * grid_y
+    rank_size = _next_pow2(max(p, 2))
+    # packed-key capacity check: (num_tiles+1) * rank_size must fit in int32
+    assert (num_tiles + 1) * rank_size < 2**31, (
+        f"packed sort key overflow: {num_tiles} tiles x {rank_size} rank "
+        "slots — reduce P per shard or use a larger tile size")
+    max_pairs_slow = max_pairs
 
     # ---- 1. global depth order (invalid sink to the back) -----------
     depth_key = jnp.where(
@@ -60,67 +77,65 @@ def bin_gaussians(
         INT32_MAX,
     )
     order = jnp.argsort(depth_key).astype(jnp.int32)     # stable
+    rect_s = prep.rect[order]                            # (P, 4)
     touched_s = prep.tiles_touched[order]
+    w_s = jnp.maximum(rect_s[:, 2] - rect_s[:, 0], 1)
 
-    # ---- 2. pair expansion in depth order ---------------------------
+    # ---- 2a. fast path: offset-major expansion ----------------------
+    k_idx = jnp.arange(fast_k, dtype=jnp.int32)[None, :]          # (1, K)
+    tile_x = rect_s[:, 0:1] + k_idx % w_s[:, None]
+    tile_y = rect_s[:, 1:2] + k_idx // w_s[:, None]
+    tile_fast = tile_y * grid_x + tile_x                           # (P, K)
+    is_fast = touched_s <= fast_k
+    ok_fast = is_fast[:, None] & (k_idx < touched_s[:, None])
+    rank = jnp.arange(p, dtype=jnp.int32)[:, None]
+    sentinel = jnp.int32(num_tiles * rank_size)
+    key_fast = jnp.where(ok_fast, tile_fast * rank_size + rank, sentinel)
+
+    # ---- 2b. slow path: scan-based expansion for big rects ----------
+    touched_slow = jnp.where(is_fast, 0, touched_s)
     starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(touched_s, dtype=jnp.int32)]
-    )                                                    # (P+1,)
-    total = starts[-1]
-    pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
-    pair_valid = pair_idx < jnp.minimum(total, max_pairs)
-
-    # pair -> sorted-gaussian ownership: scatter each gaussian's start slot
-    # with its index (max-combine resolves empty-range collisions to the
-    # last, i.e. the non-empty, gaussian), then running-max over pair slots.
-    mark = jnp.zeros((max_pairs,), jnp.int32).at[starts[:p]].max(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(touched_slow, dtype=jnp.int32)]
+    )
+    total_slow = starts[-1]
+    pair_idx = jnp.arange(max_pairs_slow, dtype=jnp.int32)
+    pair_ok = pair_idx < jnp.minimum(total_slow, max_pairs_slow)
+    mark = jnp.zeros((max_pairs_slow,), jnp.int32).at[starts[:p]].max(
         jnp.arange(p, dtype=jnp.int32), mode="drop"
     )
-    # NOTE: lax.cummax lowers to a 715ms serial loop on v5e for 2M elements;
-    # associative_scan's log-depth expansion is ~100x faster in-context.
     gsrt = jax.lax.associative_scan(jnp.maximum, mark)
-
-    # packed per-gaussian expansion table, gathered once per pair:
-    # [x0, y0, rect_w, start, original_gid]
-    rect_s = prep.rect[order]
-    table = jnp.stack(
-        [
-            rect_s[:, 0],
-            rect_s[:, 1],
-            jnp.maximum(rect_s[:, 2] - rect_s[:, 0], 1),
-            starts[:p],
-            order,
-        ],
-        axis=1,
-    )                                                    # (P, 5) int32
-    rows = table[gsrt]                                   # (MP, 5)
-    local = pair_idx - rows[:, 3]
-    tile_x = rows[:, 0] + local % rows[:, 2]
-    tile_y = rows[:, 1] + local // rows[:, 2]
-    tile = tile_y * grid_x + tile_x
-    tile = jnp.where(pair_valid, tile, num_tiles)        # sentinel sorts last
-    gid = rows[:, 4]
-
-    # ---- 3. stable 32-bit sort by tile ------------------------------
-    tile_sorted, gid_sorted = jax.lax.sort(
-        (tile, gid), num_keys=1, is_stable=True
+    local = pair_idx - starts[gsrt]
+    w_g = w_s[gsrt]
+    tx = rect_s[gsrt, 0] + local % w_g
+    ty = rect_s[gsrt, 1] + local // w_g
+    key_slow = jnp.where(
+        pair_ok, (ty * grid_x + tx) * rank_size + gsrt, sentinel
     )
 
+    # ---- 3. one packed int32 sort -----------------------------------
+    keys = jnp.concatenate([key_fast.reshape(-1), key_slow])
+    keys_sorted = jax.lax.sort(keys)
+
     # ---- 4. per-tile ranges -> padded index matrix ------------------
-    tile_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(tile_sorted, tile_range, side="left").astype(jnp.int32)
-    tstart = bounds[:-1]                                  # (num_tiles,)
+    boundaries = (
+        jnp.arange(num_tiles + 1, dtype=jnp.int32) * rank_size
+    )
+    bounds = jnp.searchsorted(keys_sorted, boundaries, side="left").astype(
+        jnp.int32
+    )
+    tstart = bounds[:-1]
     tcount = bounds[1:] - bounds[:-1]
     kidx = jnp.arange(max_per_tile, dtype=jnp.int32)
-    flat_idx = tstart[:, None] + kidx[None, :]
+    flat_idx = jnp.clip(tstart[:, None] + kidx[None, :], 0, keys.shape[0] - 1)
     tile_mask = kidx[None, :] < jnp.minimum(tcount, max_per_tile)[:, None]
-    flat_idx = jnp.clip(flat_idx, 0, max_pairs - 1)
-    tile_gid = jnp.take(gid_sorted, flat_idx, axis=0)
+    rank_mat = jnp.take(keys_sorted, flat_idx, axis=0) & (rank_size - 1)
+    tile_gid = jnp.take(order, jnp.minimum(rank_mat, p - 1), axis=0)
 
+    num_rendered = jnp.sum(touched_s, dtype=jnp.int32)
     return Binning(
         tile_gid=tile_gid,
         tile_mask=tile_mask,
         tile_counts=jnp.minimum(tcount, max_per_tile),
-        num_rendered=total,
-        overflow=total > max_pairs,
+        num_rendered=num_rendered,
+        overflow=total_slow > max_pairs_slow,
     )

@@ -35,6 +35,7 @@ class RasterizerConfig:
     tile_size: int = struct.field(pytree_node=False, default=16)
     max_pairs: int = struct.field(pytree_node=False, default=1 << 20)
     max_per_tile: int = struct.field(pytree_node=False, default=1024)
+    fast_k: int = struct.field(pytree_node=False, default=8)
     chunk: int = struct.field(pytree_node=False, default=64)
     pallas_chunk: int = struct.field(pytree_node=False, default=256)
     backend: str = struct.field(pytree_node=False, default="auto")
@@ -74,7 +75,8 @@ def rasterize(
         means2d = means2d + means2d_offset
 
     bins = binning_lib.bin_gaussians(
-        prep, grid_x, grid_y, config.max_pairs, config.max_per_tile
+        prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
+        fast_k=config.fast_k,
     )
 
     mode = _blend_mode(config.backend)

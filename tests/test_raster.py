@@ -137,10 +137,26 @@ class TestBinning:
             assert np.all(np.diff(d) >= 0)
 
     def test_overflow_flag(self, scene):
+        # overflow only concerns the slow path (rect > fast_k tiles); force
+        # everything slow with fast_k=0-like setting (fast_k=1 puts every
+        # multi-tile gaussian on the slow path)
         g, cam = scene
         prep = preprocess(g, cam, tile_size=16)
-        bins = bin_gaussians(prep, 4, 3, max_pairs=4, max_per_tile=4)
+        bins = bin_gaussians(prep, 4, 3, max_pairs=4, max_per_tile=4,
+                             fast_k=1)
         assert bool(bins.overflow)
+
+    def test_fast_k_variants_agree(self, scene):
+        g, cam = scene
+        prep = preprocess(g, cam, tile_size=16)
+        a = bin_gaussians(prep, 4, 3, max_pairs=1 << 15, max_per_tile=256,
+                          fast_k=1)
+        b = bin_gaussians(prep, 4, 3, max_pairs=1 << 15, max_per_tile=256,
+                          fast_k=16)
+        np.testing.assert_array_equal(np.asarray(a.tile_counts),
+                                      np.asarray(b.tile_counts))
+        np.testing.assert_array_equal(np.asarray(a.tile_gid * a.tile_mask),
+                                      np.asarray(b.tile_gid * b.tile_mask))
 
 
 class TestGradients:
