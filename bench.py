@@ -53,7 +53,7 @@ def main() -> None:
     cam = Camera.from_rt(np.eye(3), np.zeros(3), 520.0, 520.0, W, H)
     on_tpu = jax.default_backend() == "tpu"
     cfg = RasterizerConfig(
-        max_pairs=1 << 18, max_per_tile=1024, fast_k=32,
+        max_pairs=1 << 21, max_per_tile=1024, fast_k=0,
         backend="pallas" if on_tpu else "jnp",
         pallas_chunk=256,
     )

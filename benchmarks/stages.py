@@ -49,9 +49,9 @@ def main(n_gauss=100_000, width=640, height=480):
     cam = make_camera(width, height, fov=1.2)
     ts = 16
     gx, gy = -(-width // ts), -(-height // ts)
-    MP, CAP = 1 << 18, 1024
+    MP, CAP = 1 << 21, 1024
     on_tpu = jax.default_backend() == "tpu"
-    cfg = RasterizerConfig(max_pairs=MP, max_per_tile=CAP, fast_k=32,
+    cfg = RasterizerConfig(max_pairs=MP, max_per_tile=CAP, fast_k=0,
                            backend="pallas" if on_tpu else "jnp",
                            pallas_chunk=256)
     print(f"backend={jax.default_backend()} P={n_gauss} {width}x{height} "
@@ -76,7 +76,7 @@ def main(n_gauss=100_000, width=640, height=480):
 
     # stage 2: binning (chained through a depths nudge)
     def bin_step(pr):
-        bins = B.bin_gaussians(pr, gx, gy, MP, CAP, fast_k=32)
+        bins = B.bin_gaussians(pr, gx, gy, MP, CAP, fast_k=0)
         return pr._replace(
             depths=pr.depths + dep(bins.tile_gid, bins.tile_counts,
                                    bins.num_rendered))

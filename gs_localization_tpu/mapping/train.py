@@ -45,6 +45,7 @@ class MapTrainConfig:
     lambda_dssim: float = struct.field(pytree_node=False, default=0.2)
     lambda_pseudo_depth: float = struct.field(pytree_node=False, default=0.01)
     lambda_gt_depth: float = struct.field(pytree_node=False, default=0.05)
+    lambda_pseudo_view: float = struct.field(pytree_node=False, default=0.005)
     random_background: bool = struct.field(pytree_node=False, default=False)
 
 
@@ -120,7 +121,18 @@ def train_step(
     raster_cfg: RasterizerConfig,
     gt_depth: Optional[jnp.ndarray] = None,
     pseudo_depth: Optional[jnp.ndarray] = None,
+    pseudo_camera: Optional[Camera] = None,
+    pseudo_view_depth: Optional[jnp.ndarray] = None,
 ) -> tuple[MapTrainState, dict]:
+    """One optimization step.
+
+    ``pseudo_camera``/``pseudo_view_depth`` implement the few-shot
+    pseudo-view regularization (reference gs/7scenes_gs_full_dslam.py:
+    187-206): render the pseudo camera and add
+    lambda_pseudo_view * min-Pearson(depth_render, estimated_depth), where
+    the estimated depth of the render comes from a host-side monocular
+    depth prior (detached).
+    """
     key, bg_key = jax.random.split(state.key)
     if cfg.random_background:
         bg = jax.random.uniform(bg_key, (3,))
@@ -140,6 +152,11 @@ def train_step(
             lambda_pseudo_depth=cfg.lambda_pseudo_depth,
             lambda_gt_depth=cfg.lambda_gt_depth,
         )
+        if pseudo_camera is not None and pseudo_view_depth is not None:
+            pv = rasterize(g, pseudo_camera, raster_cfg, bg=bg)
+            pv_loss = losses.pearson_depth_loss(pseudo_view_depth, pv.depth)
+            loss = loss + cfg.lambda_pseudo_view * pv_loss
+            aux["pseudo_view"] = pv_loss
         return loss, (aux, out)
 
     trainable = {k: getattr(g0, k) for k in TRAINABLE}

@@ -1,0 +1,179 @@
+"""Scene runner CLI — the four LoGS stages as one command.
+
+Reference equivalent: the per-dataset script quartet (SURVEY.md §2.7)
+process/ -> sfm/ -> gs/ -> pipelines/. Here:
+
+  python -m gs_localization_tpu.pipelines.run_scene \
+      --scene /data/7scenes/chess --preset seven_scenes --stage all
+
+Stages:
+  prepare   : 7-Scenes split layout (data/seven_scenes.py)
+  sfm       : native point model + PnP init poses -> results_dense.txt
+  train     : 3DGS map -> out/gs_map/iteration_N/point_cloud.ply
+  localize  : batched pose refinement + median/recall metrics -> results.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def stage_prepare(args) -> None:
+    from ..data.seven_scenes import prepare_scene
+
+    train, test = prepare_scene(args.scene)
+    print(f"prepared: {len(train)} train / {len(test)} test images")
+
+
+def _load_scene(args):
+    from ..data.seven_scenes import load_seven_scenes_scene
+    from ..data.scene import load_colmap_scene
+
+    if args.preset == "seven_scenes":
+        return load_seven_scenes_scene(args.scene, model_dir=args.model_dir)
+    return load_colmap_scene(
+        os.path.join(args.scene, args.model_dir),
+        images_dir=os.path.join(args.scene, args.images_dir),
+        eval_split=True,
+    )
+
+
+def stage_sfm(args) -> None:
+    import jax.numpy as jnp
+
+    from ..data.scene import load_depth, load_image
+    from ..pipelines.sfm_init import (
+        SfmInitConfig, build_point_model, localize_query_pnp,
+    )
+    from ..sfm.io import write_pose_results
+
+    scene = _load_scene(args)
+    cfg = SfmInitConfig()
+    imgs = [load_image(c.image_path) for c in scene.train_cameras]
+    deps = None
+    if args.use_depth:
+        deps = [load_depth(c.depth_path) if c.depth_path and
+                os.path.exists(c.depth_path) else
+                np.zeros(imgs[i].shape[:2], np.float32)
+                for i, c in enumerate(scene.train_cameras)]
+    mapped = build_point_model(imgs, [c.camera for c in scene.train_cameras],
+                               cfg, depth_maps=deps)
+    poses = {}
+    for q in scene.test_cameras:
+        qimg = load_image(q.image_path)
+        cam = q.camera
+        K = np.array([[float(cam.fx), 0, float(cam.cx)],
+                      [0, float(cam.fy), float(cam.cy)], [0, 0, 1.0]])
+        qvec, tvec, info = localize_query_pnp(
+            qimg, K, mapped, [c.camera for c in scene.train_cameras], cfg)
+        poses[q.name] = (qvec, tvec)
+        print(f"{q.name}: {info['method']} ({info.get('num_inliers', 0)} inl)")
+    out = os.path.join(args.out, "results_dense.txt")
+    os.makedirs(args.out, exist_ok=True)
+    write_pose_results(out, poses)
+    print(f"wrote {out}")
+
+
+def stage_train(args) -> None:
+    from ..pipelines import presets, train_map
+    from ..raster import RasterizerConfig
+
+    scene = _load_scene(args)
+    tcfg = (presets.cambridge_training() if args.preset == "cambridge"
+            else presets.seven_scenes_training())
+    if args.iterations:
+        tcfg.iterations = args.iterations
+        tcfg.test_iterations = (args.iterations,)
+        tcfg.save_iterations = (args.iterations,)
+    mcfg = (presets.cambridge_map_cfg(scene.extent)
+            if args.preset == "cambridge"
+            else presets.seven_scenes_map_cfg(scene.extent))
+    rcfg = RasterizerConfig(max_pairs=args.max_pairs,
+                            max_per_tile=args.max_per_tile)
+    train_map(scene, args.out, tcfg, mcfg, rcfg)
+
+
+def stage_localize(args) -> None:
+    import jax.numpy as jnp
+
+    from ..core.camera import w2c_from_quat_t
+    from ..data.scene import load_depth, load_image
+    from ..pipelines import presets
+    from ..pipelines.localize import QuerySpec, load_map, localize_queries
+    from ..raster import RasterizerConfig
+    from ..sfm.io import read_pose_results, write_pose_results
+    from ..core.camera import rotmat_to_quat
+
+    scene = _load_scene(args)
+    map_path = args.map or os.path.join(
+        args.out, f"gs_map/iteration_{args.iterations or 30000}",
+        "point_cloud.ply")
+    gaussians = load_map(map_path)
+    init = read_pose_results(os.path.join(args.out, "results_dense.txt"))
+    lcfg = (presets.cambridge_localize() if args.preset == "cambridge"
+            else presets.seven_scenes_localize())
+    rcfg = RasterizerConfig(max_pairs=args.max_pairs,
+                            max_per_tile=args.max_per_tile)
+    queries = []
+    for q in scene.test_cameras:
+        if q.name not in init:
+            continue
+        qv, tv = init[q.name]
+        cam = q.camera.replace(w2c=w2c_from_quat_t(
+            jnp.asarray(qv, jnp.float32), jnp.asarray(tv, jnp.float32)))
+        img = load_image(q.image_path)
+        dep = None
+        if not lcfg.tracking.monocular and q.depth_path and \
+                os.path.exists(q.depth_path):
+            dep = load_depth(q.depth_path)
+        queries.append(QuerySpec(
+            name=q.name, camera=cam, image=img, depth=dep,
+            gt_w2c=np.asarray(q.camera.w2c),
+        ))
+    results, metrics = localize_queries(gaussians, queries, lcfg, rcfg)
+    os.makedirs(args.out, exist_ok=True)
+    poses = {}
+    for name, w2c in results.items():
+        poses[name] = (rotmat_to_quat(w2c[:3, :3]), w2c[:3, 3])
+    write_pose_results(os.path.join(args.out, "results.txt"), poses)
+    if metrics:
+        with open(os.path.join(args.out, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics, indent=2))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--stage", default="all",
+                    choices=["prepare", "sfm", "train", "localize", "all"])
+    ap.add_argument("--preset", default="seven_scenes",
+                    choices=["seven_scenes", "cambridge", "colmap"])
+    ap.add_argument("--model-dir", default="sparse_dslam/0")
+    ap.add_argument("--images-dir", default="images_full")
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--map", default=None)
+    ap.add_argument("--use-depth", action="store_true", default=True)
+    ap.add_argument("--max-pairs", type=int, default=1 << 21)
+    ap.add_argument("--max-per-tile", type=int, default=1024)
+    args = ap.parse_args(argv)
+    if args.out is None:
+        args.out = os.path.join(args.scene, "output_tpu")
+
+    stages = ([args.stage] if args.stage != "all"
+              else ["prepare", "sfm", "train", "localize"])
+    for s in stages:
+        print(f"=== stage: {s} ===")
+        {"prepare": stage_prepare, "sfm": stage_sfm,
+         "train": stage_train, "localize": stage_localize}[s](args)
+
+
+if __name__ == "__main__":
+    main()

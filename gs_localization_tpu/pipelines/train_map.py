@@ -79,6 +79,14 @@ class TrainPipelineConfig:
     max_screen_size: float = 20.0
     log_every: int = 500
     seed: int = 0
+    # few-shot pseudo-view regularization (reference scene_batch.py:83-94 and
+    # gs/7scenes_gs_full_dslam.py:187-206): generated when < fewshot_threshold
+    # train views AND a monocular depth estimator callback is provided
+    fewshot_threshold: int = 200
+    sample_pseudo_interval: int = 20
+    start_sample_pseudo: int = 2_000
+    end_sample_pseudo: int = 29_000
+    pseudo_per_edge: int = 3
 
 
 def train_map(
@@ -88,10 +96,14 @@ def train_map(
     map_cfg: MapTrainConfig = None,
     raster_cfg: RasterizerConfig = None,
     image_loader: Optional[Callable] = None,
+    depth_estimator: Optional[Callable] = None,
     log_fn: Callable[[str], None] = print,
 ) -> GaussianParams:
     """Train a Gaussian map. ``image_loader(cam_info) -> (rgb, depth|None)``
-    defaults to reading from cam_info.image_path/depth_path."""
+    defaults to reading from cam_info.image_path/depth_path.
+    ``depth_estimator(rgb (H,W,3)) -> (H,W) depth`` enables pseudo-view
+    regularization for few-shot scenes (MiDaS in the reference; any
+    monocular prior plugs in here)."""
     if map_cfg is None:
         map_cfg = MapTrainConfig(spatial_scale=scene.extent)
     if raster_cfg is None:
@@ -108,15 +120,34 @@ def train_map(
     train_cams = scene.train_cameras
     t0 = time.time()
 
+    pseudo_cams = []
+    if depth_estimator is not None and len(train_cams) < cfg.fewshot_threshold:
+        from ..mapping.pseudo_views import generate_pseudo_poses
+
+        pseudo_cams = generate_pseudo_poses(
+            [c.camera for c in train_cams], n_per_edge=cfg.pseudo_per_edge)
+        log_fn(f"few-shot: generated {len(pseudo_cams)} pseudo views")
+
     for it in range(1, cfg.iterations + 1):
         if it % cfg.sh_up_interval == 0:
             state = state.replace(
                 gaussians=state.gaussians.one_up_sh_degree())
         info = train_cams[rng.integers(len(train_cams))]
         img, dep = image_loader(info)
+
+        pseudo_cam = None
+        pseudo_view_depth = None
+        if (pseudo_cams and it % cfg.sample_pseudo_interval == 0
+                and cfg.start_sample_pseudo < it < cfg.end_sample_pseudo):
+            pseudo_cam = pseudo_cams[rng.integers(len(pseudo_cams))]
+            pv = rasterize(state.gaussians, pseudo_cam, raster_cfg)
+            pseudo_view_depth = jnp.asarray(
+                depth_estimator(np.asarray(pv.color)))
+
         state, aux = train_step(
             state, info.camera, jnp.asarray(img), map_cfg, raster_cfg,
             gt_depth=None if dep is None else jnp.asarray(dep),
+            pseudo_camera=pseudo_cam, pseudo_view_depth=pseudo_view_depth,
         )
 
         if it < cfg.densify_until and it > cfg.densify_from \

@@ -82,15 +82,21 @@ def bin_gaussians(
     w_s = jnp.maximum(rect_s[:, 2] - rect_s[:, 0], 1)
 
     # ---- 2a. fast path: offset-major expansion ----------------------
-    k_idx = jnp.arange(fast_k, dtype=jnp.int32)[None, :]          # (1, K)
-    tile_x = rect_s[:, 0:1] + k_idx % w_s[:, None]
-    tile_y = rect_s[:, 1:2] + k_idx // w_s[:, None]
-    tile_fast = tile_y * grid_x + tile_x                           # (P, K)
-    is_fast = touched_s <= fast_k
-    ok_fast = is_fast[:, None] & (k_idx < touched_s[:, None])
-    rank = jnp.arange(p, dtype=jnp.int32)[:, None]
+    # fast_k == 0 disables it (pure scan path — better when mean pair
+    # multiplicity is high and P*fast_k would exceed the true pair count)
     sentinel = jnp.int32(num_tiles * rank_size)
-    key_fast = jnp.where(ok_fast, tile_fast * rank_size + rank, sentinel)
+    if fast_k > 0:
+        k_idx = jnp.arange(fast_k, dtype=jnp.int32)[None, :]      # (1, K)
+        tile_x = rect_s[:, 0:1] + k_idx % w_s[:, None]
+        tile_y = rect_s[:, 1:2] + k_idx // w_s[:, None]
+        tile_fast = tile_y * grid_x + tile_x                       # (P, K)
+        is_fast = touched_s <= fast_k
+        ok_fast = is_fast[:, None] & (k_idx < touched_s[:, None])
+        rank = jnp.arange(p, dtype=jnp.int32)[:, None]
+        key_fast = jnp.where(ok_fast, tile_fast * rank_size + rank, sentinel)
+    else:
+        is_fast = jnp.zeros((p,), bool)
+        key_fast = jnp.zeros((0,), jnp.int32)
 
     # ---- 2b. slow path: scan-based expansion for big rects ----------
     touched_slow = jnp.where(is_fast, 0, touched_s)
@@ -113,7 +119,8 @@ def bin_gaussians(
     )
 
     # ---- 3. one packed int32 sort -----------------------------------
-    keys = jnp.concatenate([key_fast.reshape(-1), key_slow])
+    keys = (jnp.concatenate([key_fast.reshape(-1), key_slow])
+            if fast_k > 0 else key_slow)
     keys_sorted = jax.lax.sort(keys)
 
     # ---- 4. per-tile ranges -> padded index matrix ------------------

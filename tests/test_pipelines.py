@@ -130,3 +130,29 @@ class TestConfig:
         assert cfg["Training"]["lr"] == 0.2
         assert cfg["Training"]["iters"] == 10
         assert cfg["Dataset"]["type"] == "base"
+
+
+class TestPseudoViewTraining:
+    def test_fewshot_pseudo_view_loss_applies(self, synthetic_world, tmp_path):
+        world, cams, renders = synthetic_world
+        rng = np.random.default_rng(2)
+        scene, loader = _scene_info(world, cams, renders, rng)
+        tcfg = TrainPipelineConfig(
+            iterations=45, sh_degree=1, capacity_multiplier=1.5,
+            densify_from=10_000, densify_until=0, opacity_reset_interval=10_000,
+            sh_up_interval=1_000, test_iterations=(), save_iterations=(),
+            log_every=1000, fewshot_threshold=200,
+            sample_pseudo_interval=5, start_sample_pseudo=10,
+            end_sample_pseudo=1_000, pseudo_per_edge=1,
+        )
+        calls = []
+
+        def fake_depth(img):
+            calls.append(1)
+            return np.full(img.shape[:2], 3.0, np.float32)
+
+        train_map(scene, None, tcfg,
+                  map_cfg=MapTrainConfig(spatial_scale=2.0),
+                  raster_cfg=CFG, image_loader=loader,
+                  depth_estimator=fake_depth, log_fn=lambda s: None)
+        assert len(calls) >= 5  # estimator actually sampled
