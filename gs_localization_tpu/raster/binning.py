@@ -110,10 +110,14 @@ def bin_gaussians(
         jnp.arange(p, dtype=jnp.int32), mode="drop"
     )
     gsrt = jax.lax.associative_scan(jnp.maximum, mark)
-    local = pair_idx - starts[gsrt]
-    w_g = w_s[gsrt]
-    tx = rect_s[gsrt, 0] + local % w_g
-    ty = rect_s[gsrt, 1] + local // w_g
+    # ONE packed row gather for the per-pair expansion data (separate
+    # per-field gathers cost ~4x on v5e)
+    table = jnp.stack([rect_s[:, 0], rect_s[:, 1], w_s, starts[:p]], axis=1)
+    rows = table[gsrt]                                  # (MP, 4)
+    local = pair_idx - rows[:, 3]
+    w_g = rows[:, 2]
+    tx = rows[:, 0] + local % w_g
+    ty = rows[:, 1] + local // w_g
     key_slow = jnp.where(
         pair_ok, (ty * grid_x + tx) * rank_size + gsrt, sentinel
     )
