@@ -57,32 +57,37 @@ def main() -> None:
         backend="pallas" if on_tpu else "jnp",
         pallas_chunk=256,
     )
-    tcfg = TrackingConfig()
+    # the product workload: the full jitted pose-refinement loop (render +
+    # tracking loss + backward + Adam + SE(3) retraction per iteration, tile
+    # lists refreshed every 10 steps). Timing chains a data dependency and
+    # forces a host fetch — the tunneled runtime executes lazily and
+    # block_until_ready alone under-reports.
+    from gs_localization_tpu.loc.refine import refine_pose
+
+    n_loop = 25
+    tcfg = TrackingConfig(num_iters=n_loop, lr=1e-3, convergence=0.0,
+                          rebin_every=10)
     gt_img = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
     gt_dep = jnp.asarray(rng.uniform(1, 8, (H, W)), jnp.float32)
     mask = jnp.ones((H, W), bool)
 
-    def step(tau):
-        out = rasterize(g, cam.with_delta(tau), cfg)
-        return tracking_loss(out.color, out.depth, out.alpha, jnp.zeros(2),
-                             gt_img, mask, tcfg, gt_depth=gt_dep)
+    run = jax.jit(lambda cam_: refine_pose(
+        g, cam_, gt_img, mask, tcfg, cfg, gt_depth=gt_dep))
 
-    fwd_bwd = jax.jit(jax.grad(step))
-    tau = jnp.zeros(6)
-    # chain iterations through a data dependency and force a host fetch at
-    # the end: the tunneled TPU runtime executes lazily, so block_until_ready
-    # alone under-reports (see .claude memory axon-tpu-env)
-    float(fwd_bwd(tau)[0])  # compile + settle
-    iters = 20
+    res = run(cam)
+    _ = float(res.w2c[0, 0])       # compile + settle
+    reps = 3
     t0 = time.time()
-    for _ in range(iters):
-        tau = fwd_bwd(tau) * 1e-12
-    _ = float(tau[0])
-    dt = (time.time() - t0) / iters
+    c = cam
+    for _ in range(reps):
+        res = run(c)
+        c = c.replace(w2c=res.w2c)  # chain
+    _ = float(res.w2c[0, 0])
+    dt = (time.time() - t0) / (reps * n_loop)
     mpix_s = W * H / dt / 1e6
     baseline_mpix_s = 10.0
     print(json.dumps({
-        "metric": "raster_fwd_bwd_throughput_640x480_100k",
+        "metric": "pose_refine_fwd_bwd_throughput_640x480_100k",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_s / baseline_mpix_s, 3),

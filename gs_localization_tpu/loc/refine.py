@@ -39,6 +39,10 @@ class TrackingConfig:
     opacity_threshold: float = struct.field(pytree_node=False, default=0.99)
     alpha: float = struct.field(pytree_node=False, default=0.99)
     monocular: bool = struct.field(pytree_node=False, default=False)
+    # recompute the tile lists every N iterations (1 = every iteration, the
+    # reference behavior). The pose moves ~1e-3/step, so lists stay valid for
+    # several steps — binning dominates the per-iteration cost on TPU.
+    rebin_every: int = struct.field(pytree_node=False, default=1)
 
 
 class RefineResult(NamedTuple):
@@ -87,9 +91,11 @@ def refine_pose(
 ) -> RefineResult:
     """Refine one camera pose. jit/vmap-safe."""
 
-    def loss_at(w2c, tau, ab):
+    from ..raster.rasterize import compute_bins
+
+    def loss_at(w2c, tau, ab, bins):
         cam = camera.replace(w2c=w2c).with_delta(tau)
-        out = rasterize(gaussians, cam, raster_cfg, bg=bg)
+        out = rasterize(gaussians, cam, raster_cfg, bg=bg, bins=bins)
         return tracking_loss(
             out.color, out.depth, out.alpha, ab, gt_image, grad_mask, cfg,
             gt_depth=gt_depth,
@@ -111,8 +117,18 @@ def refine_pose(
         return (it < cfg.num_iters) & ~done
 
     def body(state):
-        it, done, w2c, ab, m6, v6, m2, v2, loss = state
-        loss, (g_tau, g_ab) = grad_fn(w2c, jnp.zeros(6), ab)
+        it, done, w2c, ab, m6, v6, m2, v2, loss, bins = state
+        if cfg.rebin_every > 1:
+            bins = jax.lax.cond(
+                it % cfg.rebin_every == 0,
+                lambda: compute_bins(
+                    gaussians, camera.replace(w2c=w2c), raster_cfg),
+                lambda: bins,
+            )
+        else:
+            bins = compute_bins(gaussians, camera.replace(w2c=w2c),
+                                raster_cfg)
+        loss, (g_tau, g_ab) = grad_fn(w2c, jnp.zeros(6), ab, bins)
         t = (it + 1).astype(jnp.float32)
         upd6, m6, v6 = adam_update(g_tau, m6, v6, t)
         upd2, m2, v2 = adam_update(g_ab, m2, v2, t)
@@ -121,14 +137,17 @@ def refine_pose(
         w2c = se3.apply_delta(upd6, w2c)
         ab = ab + upd2
         converged = jnp.linalg.norm(upd6) < cfg.convergence
-        return it + 1, converged, w2c, ab, m6, v6, m2, v2, loss
+        return it + 1, converged, w2c, ab, m6, v6, m2, v2, loss, bins
 
+    bins0 = compute_bins(gaussians, camera, raster_cfg)
     init = (
         jnp.int32(0), jnp.bool_(False), camera.w2c, jnp.zeros(2),
         jnp.zeros(6), jnp.zeros(6), jnp.zeros(2), jnp.zeros(2),
-        jnp.float32(0.0),
+        jnp.float32(0.0), bins0,
     )
-    it, _, w2c, ab, *_, loss = jax.lax.while_loop(cond, body, init)
+    out_state = jax.lax.while_loop(cond, body, init)
+    it, _, w2c, ab = out_state[0], out_state[1], out_state[2], out_state[3]
+    loss = out_state[8]
     return RefineResult(w2c=w2c, exposure_ab=ab, num_iters=it, final_loss=loss)
 
 

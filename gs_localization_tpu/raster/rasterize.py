@@ -52,6 +52,27 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray     # () bool
 
 
+def compute_bins(
+    gaussians: GaussianParams,
+    camera: Camera,
+    config: RasterizerConfig = RasterizerConfig(),
+) -> binning_lib.Binning:
+    """Preprocess + bin only (no blending). Use with ``rasterize(bins=...)``
+    to amortize binning across nearby camera poses — e.g. the pose-refinement
+    inner loop, where the pose moves by ~1e-3 per Adam step and the tile
+    lists are effectively static (an optimization the reference's
+    per-iteration CUDA sort cannot express)."""
+    ts = config.tile_size
+    grid_x = -(-camera.width // ts)
+    grid_y = -(-camera.height // ts)
+    prep = preprocess(gaussians, camera, tile_size=ts,
+                      scale_modifier=config.scale_modifier)
+    return binning_lib.bin_gaussians(
+        prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
+        fast_k=config.fast_k,
+    )
+
+
 def rasterize(
     gaussians: GaussianParams,
     camera: Camera,
@@ -59,6 +80,7 @@ def rasterize(
     bg: Optional[jnp.ndarray] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
     colors_precomp: Optional[jnp.ndarray] = None,
+    bins: Optional[binning_lib.Binning] = None,
 ) -> RenderOutput:
     ts = config.tile_size
     grid_x = -(-camera.width // ts)
@@ -74,10 +96,11 @@ def rasterize(
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
 
-    bins = binning_lib.bin_gaussians(
-        prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
-        fast_k=config.fast_k,
-    )
+    if bins is None:
+        bins = binning_lib.bin_gaussians(
+            prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
+            fast_k=config.fast_k,
+        )
 
     mode = _blend_mode(config.backend)
     if mode in ("pallas", "pallas_interpret"):

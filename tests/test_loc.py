@@ -124,3 +124,30 @@ class TestUndistort:
         # compare interior (cv2 border handling differs; cv2 remap uses
         # 5-bit fixed-point bilinear weights -> small per-pixel deltas)
         np.testing.assert_allclose(out[8:-8, 8:-8], ref[8:-8, 8:-8], atol=3e-2)
+
+
+class TestBinReuse:
+    def test_rebin_every_matches_fresh(self):
+        """With small pose motion, rebin_every>1 must land at (nearly) the
+        same refined pose as per-iteration binning."""
+        rng = np.random.default_rng(8)
+        g = random_scene(rng, n=250, sh_degree=1, spread=1.4,
+                         scale_range=(-3.0, -1.9))
+        cam_gt = make_camera(64, 48, fov=1.1)
+        target = rasterize(g, cam_gt, CFG)
+        cam0 = cam_gt.with_delta(jnp.asarray([0.01, -0.008, 0.006,
+                                              0.008, -0.006, 0.004]))
+        mask = jnp.ones((48, 64), bool)
+        kw = dict(num_iters=40, lr=2e-3, convergence=1e-6)
+        res1 = refine_pose(g, cam0, target.color, mask,
+                           TrackingConfig(rebin_every=1, **kw), CFG,
+                           gt_depth=target.depth)
+        res8 = refine_pose(g, cam0, target.color, mask,
+                           TrackingConfig(rebin_every=8, **kw), CFG,
+                           gt_depth=target.depth)
+        e1 = float(jnp.linalg.norm(
+            -res1.w2c[:3, :3].T @ res1.w2c[:3, 3] - cam_gt.campos))
+        e8 = float(jnp.linalg.norm(
+            -res8.w2c[:3, :3].T @ res8.w2c[:3, 3] - cam_gt.campos))
+        assert e1 < 0.01
+        assert e8 < 0.012, (e1, e8)
