@@ -191,3 +191,66 @@ def train_step(
     aux["num_rendered"] = out.num_rendered
     aux["overflow"] = out.overflow
     return new_state, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg"))
+def train_step_batched(
+    state: MapTrainState,
+    cameras: Camera,              # batched pytree, leading dim B
+    gt_images: jnp.ndarray,       # (B, H, W, 3)
+    cfg: MapTrainConfig,
+    raster_cfg: RasterizerConfig,
+    gt_depths: Optional[jnp.ndarray] = None,
+) -> tuple[MapTrainState, dict]:
+    """Multi-camera step: vmap the render+loss over B views, average the
+    gradients, one Adam update. The reference trains one view per step
+    (train.py:147); batching raises MXU utilization on TPU and is
+    statistically equivalent to B single steps at B-scaled LR."""
+    g0 = state.gaussians
+    zero_off = jnp.zeros((g0.capacity, 2), jnp.float32)
+    bg = jnp.zeros((3,))
+
+    def one_view(trainable, means2d_off, cam, img, dep):
+        g = g0.replace(**trainable)
+        out = rasterize(g, cam, raster_cfg, bg=bg, means2d_offset=means2d_off)
+        loss, aux = losses.training_loss(
+            out.color, img, depth=out.depth,
+            gt_depth=dep if gt_depths is not None else None,
+            lambda_dssim=cfg.lambda_dssim,
+            lambda_gt_depth=cfg.lambda_gt_depth,
+        )
+        return loss, (aux, out)
+
+    def batch_loss(trainable, means2d_off):
+        deps = gt_depths if gt_depths is not None \
+            else jnp.zeros(gt_images.shape[:3])
+        losses_b, (aux, outs) = jax.vmap(
+            one_view, in_axes=(None, None, 0, 0, 0))(
+            trainable, means2d_off, cameras, gt_images, deps)
+        return jnp.mean(losses_b), (aux, outs)
+
+    trainable = {k: getattr(g0, k) for k in TRAINABLE}
+    (loss, (aux, outs)), (grads, g2d) = jax.value_and_grad(
+        batch_loss, argnums=(0, 1), has_aux=True)(trainable, zero_off)
+
+    live = g0.live
+    grads = jax.tree_util.tree_map(
+        lambda g: g * live.reshape((-1,) + (1,) * (g.ndim - 1)), grads)
+    opt = make_optimizer(cfg)
+    updates, new_opt_state = opt.update(grads, state.opt_state, trainable)
+    new_trainable = optax.apply_updates(trainable, updates)
+
+    vis_any = jnp.any(outs.visibility, axis=0)
+    radii_max = jnp.max(outs.radii, axis=0)
+    new_densify = update_stats(
+        state.densify, g2d, vis_any, radii_max,
+        cameras.width, cameras.height,
+    )
+    new_state = state.replace(
+        gaussians=g0.replace(**new_trainable),
+        opt_state=new_opt_state,
+        densify=new_densify,
+        step=state.step + 1,
+        key=state.key,
+    )
+    return new_state, {"total": loss, "l1": jnp.mean(aux["l1"])}

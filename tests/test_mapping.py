@@ -173,3 +173,22 @@ class TestTrainLoop:
         state, _ = train_step(state, cam, gt, cfg, CFG)
         assert float(jnp.sum(state.densify.denom)) > 0
         assert float(jnp.sum(state.densify.grad_accum)) > 0
+
+
+class TestBatchedTrain:
+    def test_batched_matches_mean_grads(self, rng):
+        from gs_localization_tpu.mapping.train import train_step_batched
+        import jax
+        g = random_scene(rng, n=50, sh_degree=1, capacity=64)
+        cfg = MapTrainConfig()
+        state = init_training(g, cfg)
+        base = make_camera(32, 32)
+        taus = jnp.asarray(0.02 * rng.standard_normal((4, 6)), jnp.float32)
+        cams = jax.vmap(base.with_delta)(taus)
+        gts = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)), jnp.float32)
+        s2, aux = train_step_batched(state, cams, gts, cfg, CFG)
+        assert np.isfinite(float(aux["total"]))
+        assert int(s2.step) == 1
+        # params moved and densify stats accumulated
+        assert float(jnp.abs(s2.gaussians.xyz - g.xyz).sum()) > 0
+        assert float(jnp.sum(s2.densify.denom)) > 0
