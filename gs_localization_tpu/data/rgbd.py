@@ -55,6 +55,57 @@ def backproject_rgbd(
     return pts, cols, sp
 
 
+def extend_gaussians_from_rgbd(
+    gaussians,
+    camera: Camera,
+    rgb,
+    depth,
+    stride: int = 8,
+    point_size: float = 1.0,
+):
+    """SLAM-style incremental map extension (reference extend_from_pcd_seq,
+    tools/gaussian_model.py:204+): back-project a new RGB-D keyframe and
+    write the new Gaussians into free capacity slots (fixed-capacity scatter,
+    same mechanism as densification). Returns (params, num_added)."""
+    import jax
+
+    from ..core.gaussians import GaussianParams, inverse_sigmoid
+    from ..core import sh as sh_lib
+
+    pts, cols, sp = backproject_rgbd(camera, jnp.asarray(rgb),
+                                     jnp.asarray(depth), stride)
+    n_new = pts.shape[0]
+    cap = gaussians.capacity
+    free = ~gaussians.live
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    num_free = jnp.sum(free.astype(jnp.int32))
+    slot_of_rank = jnp.full((max(n_new, cap),), cap, jnp.int32).at[
+        jnp.where(free, free_rank, max(n_new, cap))
+    ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    ranks = jnp.arange(n_new)
+    fits = ranks < num_free
+    target = jnp.where(fits, slot_of_rank[jnp.minimum(ranks, cap - 1)], cap)
+
+    scales = jnp.log(jnp.maximum(jnp.asarray(sp) * point_size, 1e-7))
+    k1 = gaussians.features_rest.shape[1]
+    new = gaussians.replace(
+        xyz=gaussians.xyz.at[target].set(jnp.asarray(pts), mode="drop"),
+        features_dc=gaussians.features_dc.at[target].set(
+            sh_lib.rgb_to_sh_dc(jnp.asarray(cols))[:, None, :], mode="drop"),
+        features_rest=gaussians.features_rest.at[target].set(
+            jnp.zeros((n_new, k1, 3)), mode="drop"),
+        scaling=gaussians.scaling.at[target].set(
+            jnp.tile(scales[:, None], (1, 3)), mode="drop"),
+        rotation=gaussians.rotation.at[target].set(
+            jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n_new, 1)), mode="drop"),
+        opacity=gaussians.opacity.at[target].set(
+            jnp.full((n_new, 1), inverse_sigmoid(jnp.float32(0.1))),
+            mode="drop"),
+        live=gaussians.live.at[target].set(True, mode="drop"),
+    )
+    return new, jnp.sum(fits.astype(jnp.int32))
+
+
 def gaussians_from_rgbd(
     camera: Camera, rgb, depth, stride: int = 4, sh_degree: int = 3,
     capacity: Optional[int] = None, point_size: float = 1.0,

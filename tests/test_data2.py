@@ -129,3 +129,17 @@ class TestRGBD:
         g = gaussians_from_rgbd(cam, rgb, depth, stride=4, sh_degree=1)
         assert int(g.num_live) == (24 // 4 - 1) * (32 // 4)
         assert np.isfinite(np.asarray(g.scaling[g.live])).all()
+
+    def test_extend_gaussians(self, rng):
+        from gs_localization_tpu.data.rgbd import extend_gaussians_from_rgbd
+        from helpers import random_scene
+        g = random_scene(rng, n=30, capacity=128)
+        cam = make_camera(32, 24, fov=1.0)
+        depth = np.full((24, 32), 2.5, np.float32)
+        rgb = rng.uniform(0, 1, (24, 32, 3)).astype(np.float32)
+        g2, added = extend_gaussians_from_rgbd(g, cam, rgb, depth, stride=8)
+        assert int(added) == (24 // 8) * (32 // 8)
+        assert int(g2.num_live) == 30 + int(added)
+        # originals untouched
+        np.testing.assert_allclose(np.asarray(g2.xyz[:30]),
+                                   np.asarray(g.xyz[:30]))
