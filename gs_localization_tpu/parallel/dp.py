@@ -140,4 +140,40 @@ def dryrun_train_step(n_devices: int) -> None:
     # params actually moved
     delta = float(jnp.abs(g2.xyz - g.xyz).sum())
     assert np.isfinite(delta)
-    print(f"dryrun_multichip: {n_devices} devices, loss={loss:.4f} ok")
+    print(f"dryrun_multichip: DP {n_devices} devices, loss={loss:.4f} ok")
+
+    # --- 2-D (data, gauss) mesh: sharded map + sharded cameras ----------
+    if n_devices >= 2 and n_devices % 2 == 0:
+        from .gauss_shard import gauss_sharded_loss_and_grads, make_mesh_2d
+
+        n_data, n_gauss = n_devices // 2, 2
+        mesh2 = make_mesh_2d(n_data, n_gauss)
+        g128 = _tiny_scene(n=128, sh_degree=1, seed=2)  # 128 % n_gauss == 0
+        taus2 = jnp.asarray(
+            0.01 * rng.standard_normal((n_data, 6)), jnp.float32)
+        cams2 = jax.vmap(base.with_delta)(taus2)
+        imgs2 = jnp.asarray(
+            rng.uniform(0, 1, (n_data, H, W, 3)), jnp.float32)
+        loss2, grads2 = jax.jit(
+            lambda gg, c, i: gauss_sharded_loss_and_grads(
+                mesh2, gg, c, i, cfg)
+        )(g128, cams2, imgs2)
+        assert np.isfinite(float(loss2))
+        assert all(np.isfinite(np.asarray(v)).all() for v in
+                   jax.tree_util.tree_leaves(grads2))
+        print(f"dryrun_multichip: data{n_data} x gauss{n_gauss} mesh, "
+              f"loss={float(loss2):.4f} ok")
+
+    # --- tile ("SP") axis: one frame's tiles sharded over all devices ---
+    from .tile_shard import rasterize_tile_sharded
+
+    # 32-wide image with one tile row per device -> tiles divide the mesh
+    ts = cfg.tile_size
+    cam_big = Camera.from_rt(np.eye(3), np.zeros(3), 30.0, 30.0,
+                             32, ts * n_devices)
+    out = jax.jit(
+        lambda gg: rasterize_tile_sharded(
+            make_mesh(n_devices, axis="tile"), gg, cam_big, cfg)
+    )(g)
+    assert np.isfinite(np.asarray(out.color)).all()
+    print(f"dryrun_multichip: tile-sharded render over {n_devices} ok")

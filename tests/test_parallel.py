@@ -120,3 +120,63 @@ class TestTileShard:
             np.testing.assert_allclose(
                 np.asarray(getattr(gs_, name)), np.asarray(getattr(gr_, name)),
                 atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+@needs_8
+class TestGaussShard:
+    def test_forward_matches_unsharded(self, rng):
+        from gs_localization_tpu.parallel.gauss_shard import (
+            rasterize_gauss_sharded,
+        )
+
+        g = random_scene(rng, n=160, sh_degree=1)  # 160 = 8 * 20
+        cam = make_camera(48, 32)
+        mesh = make_mesh(8, axis="gauss")
+        color, depth, alpha, radii = jax.jit(
+            lambda g_: rasterize_gauss_sharded(mesh, g_, cam, CFG)
+        )(g)
+        ref = rasterize(g, cam, CFG)
+        np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(radii),
+                                      np.asarray(ref.radii))
+
+    def test_train_grads_match_single_device(self, rng):
+        from gs_localization_tpu.mapping import losses
+        from gs_localization_tpu.parallel.gauss_shard import (
+            gauss_sharded_loss_and_grads, make_mesh_2d,
+        )
+
+        g = random_scene(rng, n=120, sh_degree=1)  # 120 = 2 shards * 60
+        base = make_camera(32, 32)
+        taus = jnp.asarray(0.02 * rng.standard_normal((4, 6)), jnp.float32)
+        cams = jax.vmap(base.with_delta)(taus)
+        imgs = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)), jnp.float32)
+
+        mesh = make_mesh_2d(4, 2)  # ('data', 'gauss')
+        loss_s, grads_s = jax.jit(
+            lambda g_, c, i: gauss_sharded_loss_and_grads(mesh, g_, c, i, CFG)
+        )(g, cams, imgs)
+
+        def loss_one(tr, cam, img):
+            gg = g.replace(**tr)
+            out = rasterize(gg, cam, CFG)
+            return losses.training_loss(out.color, img)[0]
+
+        tr = {k: getattr(g, k) for k in TRAINABLE}
+        losses_ref, grads_ref = jax.vmap(
+            lambda cam, img: jax.value_and_grad(loss_one)(tr, cam, img)
+        )(cams, imgs)
+        loss_ref = jnp.mean(losses_ref)
+        grads_ref = jax.tree_util.tree_map(
+            lambda a: jnp.mean(a, axis=0), grads_ref)
+
+        np.testing.assert_allclose(float(loss_s), float(loss_ref), rtol=1e-5)
+        for k in TRAINABLE:
+            np.testing.assert_allclose(
+                np.asarray(grads_s[k]), np.asarray(grads_ref[k]),
+                atol=1e-5, rtol=1e-4, err_msg=k)
