@@ -11,9 +11,18 @@ PnP-RANSAC initial poses. Here we provide:
 - ``evaluate``  : the reference's median / threshold-recall pose metrics.
 - ``io``        : results files (name qw qx qy qz tx ty tz) and query lists
                   with intrinsics — interop with existing hloc artifacts.
+- ``incremental``: native incremental SfM with unknown poses (essential-
+                  matrix bootstrap + PnP registration + JAX LM bundle
+                  adjustment), replacing pycolmap.incremental_mapping.
 """
 
 from .pnp import pnp_ransac
 from .retrieval import top_k_retrieval
 from .evaluate import pose_errors, summarize_errors, THRESHOLDS
 from .io import read_pose_results, write_pose_results, read_query_list_with_intrinsics
+from .bundle_adjust import BAProblem, bundle_adjust, bundle_adjust_np
+from .incremental import (
+    Reconstruction, decompose_essential, essential_ransac,
+    incremental_mapping,
+)
+from .evaluate import umeyama_alignment
