@@ -26,3 +26,7 @@ from .incremental import (
     incremental_mapping,
 )
 from .evaluate import umeyama_alignment
+from .superglue import (
+    convert_torch_weights_superglue, load_superglue, matches_as_pairs,
+    superglue_match,
+)
