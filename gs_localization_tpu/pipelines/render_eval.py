@@ -1,14 +1,16 @@
 """Render + metrics pipeline (reference render.py / metrics.py equivalent).
 
-Renders a camera set from a trained map and reports PSNR / SSIM (and LPIPS
-when torch is importable — the reference vendors lpipsPyTorch; we gate on the
-baked-in torch CPU build).
+Renders a camera set from a trained map and reports PSNR / SSIM, plus LPIPS
+when weights are available (the reference vendors lpipsPyTorch and evaluates
+net_type='vgg' — gaussian_splatting/metrics.py:74; ours is the native JAX
+twin in ops/lpips.py, loaded from user-supplied torch checkpoints since the
+pods have zero egress).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -20,13 +22,26 @@ from ..ops.ssim import ssim
 from ..raster import RasterizerConfig, rasterize
 
 
-def _maybe_lpips():
-    try:
-        import torch
-        import torchvision  # noqa: F401
-        return None  # torchvision models need downloads (zero egress) — skip
-    except Exception:
-        return None
+def load_lpips_params(vgg_path: str, lin_path: str):
+    """Build LPIPS params from torch checkpoints on disk.
+
+    vgg_path: torchvision ``vgg16`` (full model or features) state_dict.
+    lin_path: richzhang v0.1 ``vgg.pth`` lin-layer state_dict.
+    """
+    import torch
+
+    from ..ops.lpips import convert_torch_weights_lpips
+
+    vgg_sd = torch.load(vgg_path, map_location="cpu")
+    if any(k.startswith("features.") for k in vgg_sd):
+        vgg_sd = {k[len("features."):]: v for k, v in vgg_sd.items()
+                  if k.startswith("features.")}
+    lin_sd = torch.load(lin_path, map_location="cpu")
+    lin_sd = {k.replace("lin", "").replace("model.", ""): v
+              for k, v in lin_sd.items()}
+    return convert_torch_weights_lpips(
+        {k: v.numpy() for k, v in vgg_sd.items()},
+        {k: v.numpy() for k, v in lin_sd.items()})
 
 
 def save_png(path: str, img: np.ndarray) -> None:
@@ -45,6 +60,7 @@ def render_and_eval(
     image_loader: Optional[Callable] = None,
     bg: Optional[jnp.ndarray] = None,
     log_fn: Callable[[str], None] = print,
+    lpips_params: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, float]:
     if image_loader is None:
         def image_loader(info):
@@ -52,6 +68,7 @@ def render_and_eval(
 
     psnrs: List[float] = []
     ssims: List[float] = []
+    lpipss: List[float] = []
     if out_dir:
         os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
     for info in cameras:
@@ -65,9 +82,16 @@ def render_and_eval(
             gt = jnp.asarray(gt)
             psnrs.append(float(psnr(out.color, gt)))
             ssims.append(float(ssim(out.color, gt)))
+            if lpips_params is not None:
+                from ..ops.lpips import lpips
+
+                lpipss.append(float(lpips(lpips_params, out.color, gt)))
     metrics = {}
     if psnrs:
         metrics = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
-        log_fn(f"PSNR {metrics['psnr']:.2f}  SSIM {metrics['ssim']:.4f} "
-               f"over {len(psnrs)} views")
+        if lpipss:
+            metrics["lpips"] = float(np.mean(lpipss))
+        log_fn(f"PSNR {metrics['psnr']:.2f}  SSIM {metrics['ssim']:.4f}"
+               + (f"  LPIPS {metrics['lpips']:.4f}" if lpipss else "")
+               + f" over {len(psnrs)} views")
     return metrics
