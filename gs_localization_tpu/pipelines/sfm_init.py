@@ -71,16 +71,22 @@ def build_point_model(
     cfg: SfmInitConfig = SfmInitConfig(),
     depth_maps: Optional[Sequence[np.ndarray]] = None,
     extractor: Optional[Callable] = None,
+    global_desc_fn: Optional[Callable] = None,
     log_fn: Callable[[str], None] = print,
 ) -> MappedScene:
+    """``global_desc_fn`` swaps the retrieval backend: default is the native
+    tiny-image descriptor; pass e.g.
+    ``lambda img: netvlad_descriptor(nv_params, jnp.asarray(img))`` for the
+    reference's NetVLAD retrieval (sfm/netvlad.py, user-supplied weights)."""
     n = len(images)
     if extractor is None:
         extractor = lambda img: extract_harris_features(
             rgb_to_gray(jnp.asarray(img)), num_keypoints=cfg.num_keypoints)
+    if global_desc_fn is None:
+        global_desc_fn = lambda img: tiny_image_descriptor(jnp.asarray(img))
 
     feats = [extractor(img) for img in images]
-    gdesc = np.stack([np.asarray(tiny_image_descriptor(jnp.asarray(img)))
-                      for img in images])
+    gdesc = np.stack([np.asarray(global_desc_fn(img)) for img in images])
     log_fn(f"extracted features for {n} mapping images")
 
     names = list(range(n))
@@ -146,18 +152,22 @@ def localize_query_pnp(
     train_cameras: Sequence[Camera],
     cfg: SfmInitConfig = SfmInitConfig(),
     extractor: Optional[Callable] = None,
+    global_desc_fn: Optional[Callable] = None,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Initial pose for one query: retrieval -> 2D-3D matches -> PnP.
 
     Returns (qvec wxyz, tvec, info). Falls back to the top-retrieved train
-    camera's pose when PnP fails (the reference's fallback).
+    camera's pose when PnP fails (the reference's fallback). Pass the same
+    ``global_desc_fn`` used for the point model (e.g. NetVLAD).
     """
     if extractor is None:
         extractor = lambda img: extract_harris_features(
             rgb_to_gray(jnp.asarray(img)), num_keypoints=cfg.num_keypoints)
+    if global_desc_fn is None:
+        global_desc_fn = lambda img: tiny_image_descriptor(jnp.asarray(img))
     qf = extractor(query_image)
-    qg = np.asarray(tiny_image_descriptor(jnp.asarray(query_image)))[None]
+    qg = np.asarray(global_desc_fn(query_image))[None]
     ridx, _ = top_k_retrieval(qg, mapped.global_descs,
                               min(cfg.retrieval_k, len(train_cameras)))
     retrieved = [int(j) for j in ridx[0]]
