@@ -53,6 +53,15 @@ def seven_scenes_training() -> TrainPipelineConfig:
     return TrainPipelineConfig(iterations=30_000, sh_degree=3)
 
 
+def seven_scenes_training_too_large() -> TrainPipelineConfig:
+    """office/redkitchen-style scenes (reference training_too_large,
+    gs/7scenes_gs_full_dslam.py:250-277): 3000-camera working set swapped
+    once at iteration 11900."""
+    return TrainPipelineConfig(iterations=30_000, sh_degree=3,
+                               max_cameras=3000,
+                               camera_swap_iteration=11_900)
+
+
 def cambridge_training() -> TrainPipelineConfig:
     return TrainPipelineConfig(iterations=30_000, sh_degree=1)
 

@@ -87,6 +87,12 @@ class TrainPipelineConfig:
     start_sample_pseudo: int = 2_000
     end_sample_pseudo: int = 29_000
     pseudo_per_edge: int = 3
+    # "too large" scenes (reference training_too_large,
+    # gs/7scenes_gs_full_dslam.py:250-277): cap the working camera set and
+    # swap to a fresh subset once mid-run so the whole scene is eventually
+    # seen without holding every decoded image resident.
+    max_cameras: Optional[int] = None           # reference uses 3000
+    camera_swap_iteration: Optional[int] = None  # reference uses 11_900
 
 
 def train_map(
@@ -117,7 +123,14 @@ def train_map(
     )
     state = init_training(gaussians, map_cfg, seed=cfg.seed)
     rng = np.random.default_rng(cfg.seed)
-    train_cams = scene.train_cameras
+    all_cams = list(scene.train_cameras)
+    if cfg.max_cameras is not None and len(all_cams) > cfg.max_cameras:
+        sel = rng.permutation(len(all_cams))
+        train_cams = [all_cams[i] for i in sel[:cfg.max_cameras]]
+        log_fn(f"too-large scene: training on {len(train_cams)}/"
+               f"{len(all_cams)} cameras")
+    else:
+        train_cams = all_cams
     t0 = time.time()
 
     pseudo_cams = []
@@ -129,6 +142,14 @@ def train_map(
         log_fn(f"few-shot: generated {len(pseudo_cams)} pseudo views")
 
     for it in range(1, cfg.iterations + 1):
+        if (cfg.camera_swap_iteration is not None
+                and it == cfg.camera_swap_iteration
+                and cfg.max_cameras is not None
+                and len(all_cams) > cfg.max_cameras):
+            sel = rng.permutation(len(all_cams))
+            train_cams = [all_cams[i] for i in sel[:cfg.max_cameras]]
+            log_fn(f"[{it}] swapped to a fresh {len(train_cams)}-camera "
+                   "subset")
         if it % cfg.sh_up_interval == 0:
             state = state.replace(
                 gaussians=state.gaussians.one_up_sh_degree())

@@ -137,6 +137,60 @@ def blend_tiles(
     return TileBlendOut(color=color, depth=depth_acc, log_t=log_t)
 
 
+def count_touched(
+    tile_gid: jnp.ndarray,    # (num_tiles, max_per_tile) int32
+    tile_mask: jnp.ndarray,   # (num_tiles, max_per_tile) bool
+    means2d: jnp.ndarray,
+    conic: jnp.ndarray,
+    opacity: jnp.ndarray,
+    num_gaussians: int,
+    grid_x: int,
+    grid_y: int,
+    tile_size: int,
+    chunk: int = 64,
+) -> jnp.ndarray:
+    """Per-Gaussian count of pixels it contributed to (``n_touched``).
+
+    Mirrors the MonoGS pose rasterizer's fifth output
+    (/root/reference/gs_localization/pipelines/tools/__init__.py:130,152):
+    a pixel is "touched" when the Gaussian passed the alpha test (>=1/255,
+    power<=0) and the pixel was not yet saturated (T >= 1e-4). Used by
+    SLAM-style keyframing/pruning policies; diagnostic-path only, so it is
+    a separate pass over the same bins rather than baggage in the hot blend.
+    """
+    num_tiles, max_per_tile = tile_gid.shape
+    assert max_per_tile % chunk == 0
+    n_chunks = max_per_tile // chunk
+    npix = tile_size * tile_size
+    pix = tile_pixel_coords(grid_x, grid_y, tile_size)
+
+    gid_c = tile_gid.reshape(num_tiles, n_chunks, chunk).swapaxes(0, 1)
+    mask_c = tile_mask.reshape(num_tiles, n_chunks, chunk).swapaxes(0, 1)
+
+    def step(carry, inp):
+        log_t_full, touched = carry
+        gid, mask = inp
+        xy = means2d[gid]
+        con = conic[gid]
+        opa = jnp.where(mask, opacity[gid], 0.0)
+        alpha = compute_alpha(
+            xy[:, :, None, :], con[:, :, None, :], opa[:, :, None],
+            pix[:, None, :, :])
+        la = jnp.log1p(-alpha)
+        clog = log_t_full[:, None, :] + jnp.cumsum(la, axis=1)
+        hit = (alpha > 0.0) & (clog >= LOG_T_EPS)          # (T, G, npix)
+        counts = jnp.sum(hit, axis=-1).astype(jnp.int32)   # (T, G)
+        touched = touched.at[gid.reshape(-1)].add(
+            jnp.where(mask, counts, 0).reshape(-1), mode="drop")
+        log_t_full = log_t_full + jnp.sum(la, axis=1)
+        return (log_t_full, touched), None
+
+    init = (jnp.zeros((num_tiles, npix), jnp.float32),
+            jnp.zeros((num_gaussians,), jnp.int32))
+    (_, touched), _ = jax.lax.scan(step, init, (gid_c, mask_c))
+    return touched
+
+
 def tiles_to_image(
     tiles: jnp.ndarray, grid_x: int, grid_y: int, tile_size: int,
     width: int, height: int,

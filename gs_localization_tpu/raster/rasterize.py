@@ -50,6 +50,7 @@ class RenderOutput(NamedTuple):
     visibility: jnp.ndarray   # (P,) bool (radii > 0)
     num_rendered: jnp.ndarray  # () int32
     overflow: jnp.ndarray     # () bool
+    n_touched: Optional[jnp.ndarray] = None  # (P,) int32 (opt-in)
 
 
 def compute_bins(
@@ -81,7 +82,11 @@ def rasterize(
     means2d_offset: Optional[jnp.ndarray] = None,
     colors_precomp: Optional[jnp.ndarray] = None,
     bins: Optional[binning_lib.Binning] = None,
+    return_n_touched: bool = False,
 ) -> RenderOutput:
+    """``return_n_touched`` adds the MonoGS-style per-Gaussian contributed-
+    pixel counts (reference pose rasterizer's 5th output, SURVEY.md §2.3) —
+    an extra pass over the bins, so off by default in the hot loop."""
     ts = config.tile_size
     grid_x = -(-camera.width // ts)
     grid_y = -(-camera.height // ts)
@@ -123,6 +128,12 @@ def rasterize(
     depth = blend_lib.tiles_to_image(out.depth, grid_x, grid_y, ts, w, h)
     alpha = blend_lib.tiles_to_image(1.0 - t_final, grid_x, grid_y, ts, w, h)
 
+    n_touched = None
+    if return_n_touched:
+        n_touched = blend_lib.count_touched(
+            bins.tile_gid, bins.tile_mask, means2d, prep.conic, prep.opacity,
+            gaussians.xyz.shape[0], grid_x, grid_y, ts, chunk=config.chunk)
+
     return RenderOutput(
         color=color,
         depth=depth,
@@ -131,6 +142,7 @@ def rasterize(
         visibility=prep.radii > 0,
         num_rendered=bins.num_rendered,
         overflow=bins.overflow,
+        n_touched=n_touched,
     )
 
 
@@ -152,10 +164,12 @@ def render(
     config: RasterizerConfig = RasterizerConfig(),
     bg: Optional[jnp.ndarray] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
+    return_n_touched: bool = False,
 ) -> dict:
     """Reference-style render dict (gaussian_renderer/__init__.py:18-104)."""
-    out = rasterize(gaussians, camera, config, bg, means2d_offset)
-    return {
+    out = rasterize(gaussians, camera, config, bg, means2d_offset,
+                    return_n_touched=return_n_touched)
+    d = {
         "render": out.color,
         "depth": out.depth,
         "alpha": out.alpha,
@@ -164,3 +178,6 @@ def render(
         "num_rendered": out.num_rendered,
         "overflow": out.overflow,
     }
+    if return_n_touched:
+        d["n_touched"] = out.n_touched
+    return d

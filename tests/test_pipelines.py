@@ -156,3 +156,22 @@ class TestPseudoViewTraining:
                   raster_cfg=CFG, image_loader=loader,
                   depth_estimator=fake_depth, log_fn=lambda s: None)
         assert len(calls) >= 5  # estimator actually sampled
+
+
+class TestTooLargeSubsetting:
+    def test_camera_subset_and_swap(self, synthetic_world, tmp_path):
+        world, cams, renders = synthetic_world
+        rng = np.random.default_rng(3)
+        scene, loader = _scene_info(world, cams, renders, rng)
+        tcfg = TrainPipelineConfig(
+            iterations=40, sh_degree=1, capacity_multiplier=1.5,
+            densify_from=10_000, densify_until=0,   # densify off
+            opacity_reset_interval=10_000, sh_up_interval=100,
+            test_iterations=(), save_iterations=(), log_every=1000,
+            max_cameras=4, camera_swap_iteration=20,
+        )
+        logs = []
+        train_map(scene, None, tcfg, map_cfg=MapTrainConfig(spatial_scale=2.0),
+                  raster_cfg=CFG, image_loader=loader, log_fn=logs.append)
+        assert any("too-large scene: training on 4/10" in l for l in logs)
+        assert any("swapped to a fresh 4-camera subset" in l for l in logs)
