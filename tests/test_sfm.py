@@ -184,3 +184,40 @@ class TestTriangulation:
             X + [0.0, 0.0, 0.3], tracks, w2c, K[None], [depth])
         assert has[0]
         np.testing.assert_allclose(out[0, 2], 4.5, atol=1e-3)
+
+
+class TestRegistry:
+    def test_classical_confs_work_without_weights(self, rng):
+        from gs_localization_tpu.sfm.registry import (
+            get_extractor, get_matcher, get_global_descriptor)
+
+        img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+        for conf in ("harris", "sift"):
+            f = get_extractor(conf, num_keypoints=64)(img)
+            assert f.keypoints.shape[0] == 64
+        m = get_matcher("NN-ratio")
+        f0 = get_extractor("harris", num_keypoints=64)(img)
+        res = m(f0, f0)
+        assert res.matches0.shape == (64,)
+        g = get_global_descriptor("tiny")(img)
+        assert g.ndim == 1
+
+    def test_learned_confs_require_params(self):
+        import pytest as _pt
+        from gs_localization_tpu.sfm.registry import get_extractor, get_matcher
+
+        with _pt.raises(ValueError):
+            get_extractor("superpoint_max")
+        with _pt.raises(ValueError):
+            get_matcher("superglue")
+        with _pt.raises(KeyError):
+            get_extractor("nonexistent")
+
+    def test_learned_confs_with_random_params(self, rng):
+        from gs_localization_tpu.sfm.registry import get_extractor
+        from gs_localization_tpu.sfm import r2d2 as r2
+
+        img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        f = get_extractor("r2d2", params=r2.init_params(rng),
+                          num_keypoints=32)(img)
+        assert f.descriptors.shape == (32, 128)
