@@ -43,6 +43,11 @@ class TrackingConfig:
     # reference behavior). The pose moves ~1e-3/step, so lists stay valid for
     # several steps — binning dominates the per-iteration cost on TPU.
     rebin_every: int = struct.field(pytree_node=False, default=1)
+    # pose_mode: gather pose-independent params per pair once per rebin and
+    # project elementwise per iteration (raster/pose_mode.py) — removes the
+    # per-iteration gather/scatter that dominates the TPU step cost. rgb is
+    # frozen at the rebin view direction (error O(pose delta) ~ 1e-3).
+    pose_mode: bool = struct.field(pytree_node=False, default=False)
 
 
 class RefineResult(NamedTuple):
@@ -93,13 +98,29 @@ def refine_pose(
 
     from ..raster.rasterize import compute_bins
 
-    def loss_at(w2c, tau, ab, bins):
-        cam = camera.replace(w2c=w2c).with_delta(tau)
-        out = rasterize(gaussians, cam, raster_cfg, bg=bg, bins=bins)
-        return tracking_loss(
-            out.color, out.depth, out.alpha, ab, gt_image, grad_mask, cfg,
-            gt_depth=gt_depth,
-        )
+    if cfg.pose_mode:
+        from ..raster.pose_mode import build_pair_pack, render_pose_mode
+
+        def make_bins(cam):
+            return build_pair_pack(gaussians, cam, raster_cfg)
+
+        def loss_at(w2c, tau, ab, pack):
+            cam = camera.replace(w2c=w2c).with_delta(tau)
+            color, depth, alpha = render_pose_mode(pack, cam, raster_cfg,
+                                                   bg=bg)
+            return tracking_loss(color, depth, alpha, ab, gt_image,
+                                 grad_mask, cfg, gt_depth=gt_depth)
+    else:
+        def make_bins(cam):
+            return compute_bins(gaussians, cam, raster_cfg)
+
+        def loss_at(w2c, tau, ab, bins):
+            cam = camera.replace(w2c=w2c).with_delta(tau)
+            out = rasterize(gaussians, cam, raster_cfg, bg=bg, bins=bins)
+            return tracking_loss(
+                out.color, out.depth, out.alpha, ab, gt_image, grad_mask,
+                cfg, gt_depth=gt_depth,
+            )
 
     grad_fn = jax.value_and_grad(loss_at, argnums=(1, 2))
 
@@ -121,13 +142,11 @@ def refine_pose(
         if cfg.rebin_every > 1:
             bins = jax.lax.cond(
                 it % cfg.rebin_every == 0,
-                lambda: compute_bins(
-                    gaussians, camera.replace(w2c=w2c), raster_cfg),
+                lambda: make_bins(camera.replace(w2c=w2c)),
                 lambda: bins,
             )
         else:
-            bins = compute_bins(gaussians, camera.replace(w2c=w2c),
-                                raster_cfg)
+            bins = make_bins(camera.replace(w2c=w2c))
         loss, (g_tau, g_ab) = grad_fn(w2c, jnp.zeros(6), ab, bins)
         t = (it + 1).astype(jnp.float32)
         upd6, m6, v6 = adam_update(g_tau, m6, v6, t)
@@ -139,7 +158,7 @@ def refine_pose(
         converged = jnp.linalg.norm(upd6) < cfg.convergence
         return it + 1, converged, w2c, ab, m6, v6, m2, v2, loss, bins
 
-    bins0 = compute_bins(gaussians, camera, raster_cfg)
+    bins0 = make_bins(camera)
     init = (
         jnp.int32(0), jnp.bool_(False), camera.w2c, jnp.zeros(2),
         jnp.zeros(6), jnp.zeros(6), jnp.zeros(2), jnp.zeros(2),

@@ -137,6 +137,62 @@ def blend_tiles(
     return TileBlendOut(color=color, depth=depth_acc, log_t=log_t)
 
 
+def blend_tiles_pregathered(
+    geom: jnp.ndarray,        # (num_tiles, 8, cap): x,y,a,b,c,opa,valid,pad
+    rgbd: jnp.ndarray,        # (num_tiles, 4, cap): r,g,b,depth
+    counts: jnp.ndarray,      # (num_tiles,)
+    grid_x: int,
+    grid_y: int,
+    tile_size: int,
+    chunk: int = 64,
+) -> TileBlendOut:
+    """jnp twin of the pregathered Pallas core (pose-mode path): same math
+    as ``blend_tiles`` but over per-PAIR struct-of-rows arrays, no gather."""
+    num_tiles, _, cap = geom.shape
+    assert cap % chunk == 0, (cap, chunk)
+    n_chunks = cap // chunk
+    npix = tile_size * tile_size
+    pix = tile_pixel_coords(grid_x, grid_y, tile_size)   # (T, npix, 2)
+    lane = jnp.arange(cap)
+    in_count = lane[None, :] < counts[:, None]           # (T, cap)
+
+    g_c = geom.reshape(num_tiles, 8, n_chunks, chunk).transpose(2, 0, 1, 3)
+    r_c = rgbd.reshape(num_tiles, 4, n_chunks, chunk).transpose(2, 0, 1, 3)
+    m_c = in_count.reshape(num_tiles, n_chunks, chunk).swapaxes(0, 1)
+
+    def step(carry, inp):
+        log_t_full, log_t, color, depth_acc = carry
+        g, r, mask = inp                                  # (T,8,G),(T,4,G)
+        xy = jnp.stack([g[:, 0], g[:, 1]], -1)            # (T, G, 2)
+        con = jnp.stack([g[:, 2], g[:, 3], g[:, 4]], -1)
+        opa = jnp.where(mask & (g[:, 6] > 0.5), g[:, 5], 0.0)
+        col = jnp.moveaxis(r[:, 0:3], 1, 2)               # (T, G, 3)
+        dep = r[:, 3]                                     # (T, G)
+        alpha = compute_alpha(
+            xy[:, :, None, :], con[:, :, None, :], opa[:, :, None],
+            pix[:, None, :, :])
+        la = jnp.log1p(-alpha)
+        clog = log_t_full[:, None, :] + jnp.cumsum(la, axis=1)
+        applied = clog >= LOG_T_EPS
+        w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)
+        color = color + jnp.einsum(
+            "tgp,tgc->tpc", w, col, preferred_element_type=jnp.float32)
+        depth_acc = depth_acc + jnp.sum(w * dep[:, :, None], axis=1)
+        log_t_full = log_t_full + jnp.sum(la, axis=1)
+        log_t = log_t + jnp.sum(jnp.where(applied, la, 0.0), axis=1)
+        return (log_t_full, log_t, color, depth_acc), None
+
+    init = (
+        jnp.zeros((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+        jnp.zeros((num_tiles, npix, 3), jnp.float32),
+        jnp.zeros((num_tiles, npix), jnp.float32),
+    )
+    (_, log_t, color, depth_acc), _ = jax.lax.scan(step, init,
+                                                   (g_c, r_c, m_c))
+    return TileBlendOut(color=color, depth=depth_acc, log_t=log_t)
+
+
 def count_touched(
     tile_gid: jnp.ndarray,    # (num_tiles, max_per_tile) int32
     tile_mask: jnp.ndarray,   # (num_tiles, max_per_tile) bool

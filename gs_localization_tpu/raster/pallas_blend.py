@@ -77,6 +77,7 @@ def _chunk_alpha(geom_ref, sl, px, py, count, k, chunk: int):
 
 
 def _fwd_kernel(counts_ref, geom_ref, rgbd_ref, accum_ref, logt_ref,
+                resid_ref,
                 *, grid_x: int, ts: int, cap: int, chunk: int):
     t = pl.program_id(0)
     npix = ts * ts
@@ -118,18 +119,23 @@ def _fwd_kernel(counts_ref, geom_ref, rgbd_ref, accum_ref, logt_ref,
         jnp.zeros((npix, 1), jnp.float32),
         jnp.zeros((4, npix), jnp.float32),
     )
-    _, _, log_app, acc = jax.lax.while_loop(cond, body, init)
+    k_stop, log_full, log_app, acc = jax.lax.while_loop(cond, body, init)
     accum_ref[0] = acc
     logt_ref[0] = log_app
+    # residuals for the backward pass: the all-alphas log T where the sweep
+    # stopped (channel 0) and k_stop broadcast as f32 (channel 1) — saves
+    # bwd from re-walking the forward. (Scalar SMEM outputs need aligned
+    # blocks on real TPU, so the scalar rides a VMEM lane instead.)
+    resid_ref[0] = jnp.concatenate(
+        [log_full, jnp.full((ts * ts, 1), k_stop.astype(jnp.float32))], -1)
 
 
-def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref, glogt_ref,
-                dgeom_ref, drgbd_ref,
+def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref,
+                glogt_ref, resid_ref, dgeom_ref, drgbd_ref,
                 *, grid_x: int, ts: int, cap: int, chunk: int):
     t = pl.program_id(0)
     npix = ts * ts
     count = counts_ref[t]
-    n_chunks_cap = cap // chunk
     px, py = _pixel_coords(t, grid_x, ts, npix)
 
     r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
@@ -140,28 +146,15 @@ def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref, glogt_ref,
     dgeom_ref[0] = jnp.zeros((_GEOM_ROWS, cap), jnp.float32)
     drgbd_ref[0] = jnp.zeros((_RGBD_ROWS, cap), jnp.float32)
 
-    # ---- pass A: forward sweep to find k_stop and the final full log T ----
-    # (no scratch: pass B reconstructs each chunk's starting log T by
+    # forward-sweep endpoint comes precomputed from the forward kernel's
+    # residual output (ch 0 = final all-alphas log T, ch 1 = k_stop);
+    # the reverse sweep reconstructs each chunk's starting log T by
     # subtracting the chunk's own sum(la) while walking backward — Mosaic
-    # disallows dynamic lane-indexed stores, and this is cheaper anyway)
-    def condA(state):
-        k, log_full = state
-        return (k < pl.cdiv(count, chunk)) & (jnp.max(log_full) >= LOG_T_EPS)
+    # disallows dynamic lane-indexed stores, and this is cheaper anyway.
+    k_stop = resid_ref[0, 0, 1].astype(jnp.int32)
+    log_full_end = resid_ref[0, :, 0:1]
 
-    def bodyA(state):
-        k, log_full = state
-        sl = pl.ds(k * chunk, chunk)
-        alpha, _, _, _, _, _ = _chunk_alpha(
-            geom_ref, sl, px, py, count, k, chunk
-        )
-        la = jnp.log(1.0 - alpha)
-        return k + 1, log_full + jnp.sum(la, axis=1, keepdims=True)
-
-    k_stop, log_full_end = jax.lax.while_loop(
-        condA, bodyA, (jnp.int32(0), jnp.zeros((npix, 1), jnp.float32))
-    )
-
-    # ---- pass B: reverse sweep accumulating gradients ---------------------
+    # ---- reverse sweep accumulating gradients -----------------------------
     gacc = gacc_ref[0]                       # (4, npix)
     glogt = glogt_ref[0]                     # (npix, 1)
 
@@ -235,7 +228,6 @@ def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref, glogt_ref,
 
     # dynamic bound: walk exactly the chunks the forward visited (k_stop),
     # not the full capacity — tiles far below capacity skip the dead tail
-    del n_chunks_cap
     jax.lax.while_loop(
         condB, bodyB,
         (jnp.int32(0),
@@ -266,11 +258,13 @@ def _make_core(num_tiles: int, grid_x: int, ts: int, cap: int, chunk: int,
             out_specs=[
                 pl.BlockSpec((1, 4, npix), lambda t, c: (t, 0, 0)),
                 pl.BlockSpec((1, npix, 1), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, npix, 2), lambda t, c: (t, 0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, npix, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, npix, 2), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -285,6 +279,7 @@ def _make_core(num_tiles: int, grid_x: int, ts: int, cap: int, chunk: int,
                 pl.BlockSpec((1, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
                 pl.BlockSpec((1, 4, npix), lambda t, c: (t, 0, 0)),
                 pl.BlockSpec((1, npix, 1), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, npix, 2), lambda t, c: (t, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
@@ -300,16 +295,17 @@ def _make_core(num_tiles: int, grid_x: int, ts: int, cap: int, chunk: int,
 
     @jax.custom_vjp
     def core(counts, geom, rgbd):
-        accum, logt = fwd_call(counts, geom, rgbd)
+        accum, logt, _ = fwd_call(counts, geom, rgbd)
         return accum, logt
 
     def core_fwd(counts, geom, rgbd):
-        return core(counts, geom, rgbd), (counts, geom, rgbd)
+        accum, logt, resid = fwd_call(counts, geom, rgbd)
+        return (accum, logt), (counts, geom, rgbd, resid)
 
     def core_bwd(res, cotangents):
-        counts, geom, rgbd = res
+        counts, geom, rgbd, resid = res
         gacc, glogt = cotangents
-        dgeom, drgbd = bwd_call(counts, geom, rgbd, gacc, glogt)
+        dgeom, drgbd = bwd_call(counts, geom, rgbd, gacc, glogt, resid)
         return (np.zeros(counts.shape, jax.dtypes.float0), dgeom, drgbd)
 
     core.defvjp(core_fwd, core_bwd)
@@ -351,7 +347,25 @@ def blend_tiles_pallas(
     gathered = jnp.swapaxes(pack[tile_gid], 1, 2)  # (T, 12, cap)
     geom = gathered[:, :_GEOM_ROWS, :]
     rgbd = gathered[:, _GEOM_ROWS:, :]
+    return blend_pregathered_pallas(tile_counts, geom, rgbd, grid_x,
+                                    tile_size, chunk, interpret)
 
+
+def blend_pregathered_pallas(
+    tile_counts: jnp.ndarray,  # (num_tiles,) int32
+    geom: jnp.ndarray,         # (num_tiles, 8, cap)
+    rgbd: jnp.ndarray,         # (num_tiles, 4, cap)
+    grid_x: int,
+    tile_size: int,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> TileBlendOut:
+    """Kernel entry for already-gathered per-pair rows (pose-mode path —
+    the per-iteration gather/scatter around the kernel is the dominant cost
+    of the refinement loop, so pose mode gathers pose-independent params
+    once per rebin and feeds this directly)."""
+    num_tiles, _, cap = geom.shape
+    chunk = min(chunk, cap)
     core = _make_core(num_tiles, grid_x, tile_size, cap, chunk, interpret)
     accum, logt = core(tile_counts, geom, rgbd)
     color = jnp.moveaxis(accum[:, 0:3, :], 1, 2)  # (T, npix, 3)
