@@ -77,6 +77,37 @@ class GaussianParams:
             return self.replace(sh_degree=self.sh_degree + 1)
         return self
 
+    def grown(self, new_capacity: int) -> "GaussianParams":
+        """Pad every per-Gaussian array to a larger static capacity.
+
+        The TPU-native analog of the reference's unbounded tensor growth
+        (gaussian_model.py:258-327): capacity is static per compilation, so
+        when densification exhausts the free list the host pads all arrays
+        (dead slots, masked ``live=False``) and the next step re-jits once
+        at the new capacity.
+        """
+        cap = self.capacity
+        assert new_capacity >= cap, (new_capacity, cap)
+        if new_capacity == cap:
+            return self
+
+        def pad(a, fill=0.0):
+            width = [(0, new_capacity - cap)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, width, constant_values=fill)
+
+        rot = pad(self.rotation)
+        # keep dead-slot quaternions valid so normalize() stays finite
+        rot = rot.at[cap:, 0].set(1.0)
+        return self.replace(
+            xyz=pad(self.xyz),
+            features_dc=pad(self.features_dc),
+            features_rest=pad(self.features_rest),
+            scaling=pad(self.scaling, fill=-10.0),
+            rotation=rot,
+            opacity=pad(self.opacity, fill=-10.0),
+            live=pad(self.live, fill=False),
+        )
+
     # ------------------------------------------------------------------
     @classmethod
     def empty(cls, capacity: int, sh_degree: int = 3, active_sh_degree: int = 0

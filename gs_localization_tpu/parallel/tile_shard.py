@@ -90,4 +90,5 @@ def rasterize_tile_sharded(
         color=color, depth=depth, alpha=alpha,
         radii=prep.radii, visibility=prep.radii > 0,
         num_rendered=bins.num_rendered, overflow=bins.overflow,
+        tile_overflow=bins.tile_overflow,
     )

@@ -29,6 +29,7 @@ from ..mapping import (
     MapTrainConfig, densify_and_prune, init_training, reset_opacity,
     train_step,
 )
+from ..mapping.train import grow_capacity
 from ..mapping.losses import psnr
 from ..raster import RasterizerConfig, rasterize
 
@@ -66,6 +67,12 @@ class TrainPipelineConfig:
     iterations: int = 30_000
     sh_degree: int = 3
     capacity_multiplier: float = 4.0     # capacity = mult * init points
+    # when densification overflows the free list, grow capacity host-side
+    # (x factor, rounded up to a multiple of 1024) and retry — mirrors the
+    # reference's unbounded growth (gaussian_model.py:258-327) at one re-jit
+    # per growth event. max_capacity=None = unbounded (like the reference).
+    capacity_growth_factor: float = 1.5
+    max_capacity: Optional[int] = None
     densify_from: int = 500
     densify_until: int = 15_000
     densification_interval: int = 100
@@ -176,14 +183,31 @@ def train_map(
             key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), it)
             size_thr = (cfg.max_screen_size
                         if it > cfg.opacity_reset_interval else None)
-            g2, d2, opt2, report = densify_and_prune(
-                state.gaussians, state.densify, state.opt_state, key,
-                grad_threshold=cfg.densify_grad_threshold,
-                min_opacity=cfg.min_opacity,
-                extent=scene.extent,
-                max_screen_size=size_thr,
-                percent_dense=cfg.percent_dense,
-            )
+            while True:
+                g2, d2, opt2, report = densify_and_prune(
+                    state.gaussians, state.densify, state.opt_state, key,
+                    grad_threshold=cfg.densify_grad_threshold,
+                    min_opacity=cfg.min_opacity,
+                    extent=scene.extent,
+                    max_screen_size=size_thr,
+                    percent_dense=cfg.percent_dense,
+                )
+                if int(report.dropped) == 0:
+                    break
+                # free list exhausted: grow capacity and redo this round
+                # from the (functional, untouched) pre-densify state
+                old_cap = state.gaussians.capacity
+                new_cap = -(-int(old_cap * cfg.capacity_growth_factor)
+                            // 1024) * 1024
+                if cfg.max_capacity is not None:
+                    new_cap = min(new_cap, cfg.max_capacity)
+                if new_cap <= old_cap:
+                    log_fn(f"[{it}] densify dropped {int(report.dropped)} "
+                           f"(at max_capacity {old_cap})")
+                    break
+                state = grow_capacity(state, new_cap)
+                log_fn(f"[{it}] grew capacity {old_cap} -> {new_cap} "
+                       f"({int(report.dropped)} dropped; re-jit)")
             state = state.replace(gaussians=g2, densify=d2, opt_state=opt2)
 
         if it % cfg.opacity_reset_interval == 0:

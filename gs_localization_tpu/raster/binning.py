@@ -44,6 +44,11 @@ class Binning(NamedTuple):
     tile_counts: jnp.ndarray  # (num_tiles,) int32 (clipped to max_per_tile)
     num_rendered: jnp.ndarray  # () int32 total pairs (pre-cap)
     overflow: jnp.ndarray     # () bool — slow-path pair capacity exceeded
+    tile_overflow: jnp.ndarray  # () bool — some tile's true count exceeded
+    #                               max_per_tile (its farthest pairs were
+    #                               silently dropped from tile_gid)
+    max_tile_count: jnp.ndarray  # () int32 — max true per-tile count (pre-
+    #                               clip): right-sizes max_per_tile per scene
 
 
 def _next_pow2(n: int) -> int:
@@ -143,10 +148,13 @@ def bin_gaussians(
     tile_gid = jnp.take(order, jnp.minimum(rank_mat, p - 1), axis=0)
 
     num_rendered = jnp.sum(touched_s, dtype=jnp.int32)
+    max_tile_count = jnp.max(tcount)
     return Binning(
         tile_gid=tile_gid,
         tile_mask=tile_mask,
         tile_counts=jnp.minimum(tcount, max_per_tile),
         num_rendered=num_rendered,
         overflow=total_slow > max_pairs_slow,
+        tile_overflow=max_tile_count > max_per_tile,
+        max_tile_count=max_tile_count,
     )

@@ -77,7 +77,8 @@ def build_pair_pack(
          zeros, zeros], axis=1)                        # (P, 16)
     pairs = jnp.swapaxes(pack[bins.tile_gid], 1, 2)    # (T, 16, cap)
     return PairPack(params=jax.lax.stop_gradient(pairs),
-                    counts=bins.tile_counts, overflow=bins.overflow)
+                    counts=bins.tile_counts,
+                    overflow=bins.overflow | bins.tile_overflow)
 
 
 def _project_pairs(params: jnp.ndarray, camera: Camera,

@@ -49,7 +49,8 @@ class RenderOutput(NamedTuple):
     radii: jnp.ndarray        # (P,) int32
     visibility: jnp.ndarray   # (P,) bool (radii > 0)
     num_rendered: jnp.ndarray  # () int32
-    overflow: jnp.ndarray     # () bool
+    overflow: jnp.ndarray     # () bool — pair-capacity overflow
+    tile_overflow: Optional[jnp.ndarray] = None  # () bool — per-tile trunc.
     n_touched: Optional[jnp.ndarray] = None  # (P,) int32 (opt-in)
 
 
@@ -142,6 +143,7 @@ def rasterize(
         visibility=prep.radii > 0,
         num_rendered=bins.num_rendered,
         overflow=bins.overflow,
+        tile_overflow=bins.tile_overflow,
         n_touched=n_touched,
     )
 
@@ -177,6 +179,7 @@ def render(
         "visibility_filter": out.visibility,
         "num_rendered": out.num_rendered,
         "overflow": out.overflow,
+        "tile_overflow": out.tile_overflow,
     }
     if return_n_touched:
         d["n_touched"] = out.n_touched
