@@ -77,10 +77,13 @@ def r2d2_forward(params: Dict[str, Any], image: jnp.ndarray):
     x = x[0]
     desc = x * jax.lax.rsqrt(
         jnp.maximum(jnp.sum(x * x, -1, keepdims=True), 1e-24))
-    clf = _conv(x[None], params["clf"]["kernel"], params["clf"]["bias"],
+    # the confidence heads run on the SQUARED features
+    # (patchnet.py:122-128: clf(x**2) / sal(x**2))
+    xsq = (x * x)[None]
+    clf = _conv(xsq, params["clf"]["kernel"], params["clf"]["bias"],
                 1, 1)[0]
     rel = jax.nn.softmax(clf, axis=-1)[..., 1]
-    sal = _conv(x[None], params["sal"]["kernel"], params["sal"]["bias"],
+    sal = _conv(xsq, params["sal"]["kernel"], params["sal"]["bias"],
                 1, 1)[0, ..., 0]
     sp = jax.nn.softplus(sal)
     rep = sp / (1.0 + sp)
@@ -159,5 +162,7 @@ def load_r2d2(path: str) -> Dict[str, Any]:
 
     ckpt = torch.load(path, map_location="cpu")
     sd = ckpt.get("state_dict", ckpt)
+    # official checkpoints carry a DataParallel 'module.' prefix
+    # (r2d2/extract.py:25)
     return convert_torch_weights_r2d2(
-        {k: v.numpy() for k, v in sd.items()})
+        {k.replace("module.", ""): v.numpy() for k, v in sd.items()})

@@ -61,15 +61,20 @@ def _mlp(layers, x):
 
 
 def _mha(p, x, source):
-    """4-head attention: queries from x (N, D), keys/values from source."""
+    """4-head attention: queries from x (N, D), keys/values from source.
+
+    The reference views the (B, D, N) projection as (B, head_dim, H, N)
+    (superglue.py:104-106: channel = d_i * H + h) and merges back in the
+    same layout — so the channel axis splits DIM-major, not head-major.
+    """
     n, d = x.shape
     hd = d // NUM_HEADS
-    q = (x @ p["q"]["w"] + p["q"]["b"]).reshape(n, NUM_HEADS, hd)
-    k = (source @ p["k"]["w"] + p["k"]["b"]).reshape(-1, NUM_HEADS, hd)
-    v = (source @ p["v"]["w"] + p["v"]["b"]).reshape(-1, NUM_HEADS, hd)
-    logits = jnp.einsum("nhd,mhd->hnm", q, k) / np.sqrt(hd)
+    q = (x @ p["q"]["w"] + p["q"]["b"]).reshape(n, hd, NUM_HEADS)
+    k = (source @ p["k"]["w"] + p["k"]["b"]).reshape(-1, hd, NUM_HEADS)
+    v = (source @ p["v"]["w"] + p["v"]["b"]).reshape(-1, hd, NUM_HEADS)
+    logits = jnp.einsum("ndh,mdh->hnm", q, k) / np.sqrt(hd)
     prob = jax.nn.softmax(logits, axis=-1)
-    msg = jnp.einsum("hnm,mhd->nhd", prob, v).reshape(n, d)
+    msg = jnp.einsum("hnm,mdh->ndh", prob, v).reshape(n, d)
     return msg @ p["merge"]["w"] + p["merge"]["b"]
 
 

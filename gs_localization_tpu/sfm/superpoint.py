@@ -69,11 +69,22 @@ class SuperPointNet(nn.Module):
 
 
 def simple_nms(scores: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Keep strict local maxima in (2r+1)^2 windows (hloc-style NMS)."""
+    """Iterated non-maximum suppression, exactly the reference algorithm
+    (SuperGluePretrainedNetwork/models/superpoint.py:47-62): initial local-max
+    mask, then 2 rounds that re-admit maxima of the suppressed complement."""
     win = 2 * radius + 1
-    maxed = jax.lax.reduce_window(
-        scores, -jnp.inf, jax.lax.max, (win, win), (1, 1), "SAME")
-    return jnp.where(scores >= maxed, scores, 0.0)
+
+    def max_pool(x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (win, win), (1, 1), "SAME")
+
+    max_mask = scores == max_pool(scores)
+    for _ in range(2):
+        supp_mask = max_pool(max_mask.astype(jnp.float32)) > 0
+        supp_scores = jnp.where(supp_mask, 0.0, scores)
+        new_max_mask = supp_scores == max_pool(supp_scores)
+        max_mask = max_mask | (new_max_mask & ~supp_mask)
+    return jnp.where(max_mask, scores, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("num_keypoints", "nms_radius",
@@ -94,10 +105,13 @@ def postprocess(
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
 
-    # bilinear sample of the coarse descriptor grid at keypoint locations
+    # bilinear sample of the coarse descriptor grid at keypoint locations,
+    # with the reference's exact coordinate mapping (superpoint.py:80-92:
+    # (kp - s/2 + 0.5) / (dim*s - s/2 - 0.5) -> [-1,1], grid_sample
+    # align_corners=True => u = t * (dim_c - 1))
     hc, wc, dd = desc_coarse.shape
-    gx = jnp.clip(xs / 8.0 - 0.5, 0.0, wc - 1.001)
-    gy = jnp.clip(ys / 8.0 - 0.5, 0.0, hc - 1.001)
+    gx = jnp.clip((xs - 3.5) / (wc * 8.0 - 4.5) * (wc - 1), 0.0, wc - 1.001)
+    gy = jnp.clip((ys - 3.5) / (hc * 8.0 - 4.5) * (hc - 1), 0.0, hc - 1.001)
     x0 = gx.astype(jnp.int32)
     y0 = gy.astype(jnp.int32)
     fx = (gx - x0)[:, None]

@@ -28,14 +28,15 @@ def _torch_twin(params, img_np):
         if has_relu:
             x = F.relu(x)
     desc = F.normalize(x, p=2, dim=1)
+    xsq = x ** 2   # heads run on squared features (patchnet.py:122-128)
     wc = torch.from_numpy(
         np.asarray(params["clf"]["kernel"]).transpose(3, 2, 0, 1)).float()
     bc = torch.from_numpy(np.asarray(params["clf"]["bias"])).float()
-    rel = F.softmax(F.conv2d(x, wc, bc), dim=1)[:, 1]
+    rel = F.softmax(F.conv2d(xsq, wc, bc), dim=1)[:, 1]
     ws = torch.from_numpy(
         np.asarray(params["sal"]["kernel"]).transpose(3, 2, 0, 1)).float()
     bs = torch.from_numpy(np.asarray(params["sal"]["bias"])).float()
-    sp = F.softplus(F.conv2d(x, ws, bs))
+    sp = F.softplus(F.conv2d(xsq, ws, bs))
     rep = (sp / (1 + sp))[:, 0]
     return (desc[0].permute(1, 2, 0).numpy(), rel[0].numpy(), rep[0].numpy())
 
