@@ -184,13 +184,13 @@ class TestDensify:
         gt = np.asarray(rasterize(target_g, cam, CFG).color)
         pts = np.asarray(target_g.xyz[:40])
         cols = np.full((40, 3), 0.5, np.float32)
-        infos = [CameraInfo(uid=0, camera=cam, image_path="", depth_path=None,
-                            image_name="synth")]
+        infos = [CameraInfo(uid=0, name="synth", camera=cam, image_path="",
+                            depth_path=None)]
         scene = SceneInfo(points=pts, colors=cols, train_cameras=infos,
                           test_cameras=[], extent=3.0)
         cfg = TrainPipelineConfig(
-            iterations=120, capacity_multiplier=1.0,
-            densify_from=10, densify_until=120, densification_interval=20,
+            iterations=220, capacity_multiplier=1.0,
+            densify_from=10, densify_until=220, densification_interval=20,
             densify_grad_threshold=1e-7,  # force aggressive densification
             opacity_reset_interval=10_000, test_iterations=(),
             save_iterations=(), log_every=1000)
