@@ -45,6 +45,12 @@ class SfmInitConfig:
     pnp_max_error_px: float = 12.0  # reference RANSAC default
     min_pnp_inliers: int = 12
     depth_correct: bool = True
+    # dense (LoFTR-style) matching: quantization pitches of the keypoint
+    # aggregation (reference match_dense.py confs 'loftr': max_error=1,
+    # cell_size=1; 'loftr_aachen': 2/8)
+    dense_max_error: float = 1.0
+    dense_cell_size: float = 1.0
+    dense_max_kps: Optional[int] = None
 
 
 @dataclass
@@ -72,12 +78,19 @@ def build_point_model(
     depth_maps: Optional[Sequence[np.ndarray]] = None,
     extractor: Optional[Callable] = None,
     global_desc_fn: Optional[Callable] = None,
+    dense_matcher: Optional[Callable] = None,
     log_fn: Callable[[str], None] = print,
 ) -> MappedScene:
     """``global_desc_fn`` swaps the retrieval backend: default is the native
     tiny-image descriptor; pass e.g.
     ``lambda img: netvlad_descriptor(nv_params, jnp.asarray(img))`` for the
-    reference's NetVLAD retrieval (sfm/netvlad.py, user-supplied weights)."""
+    reference's NetVLAD retrieval (sfm/netvlad.py, user-supplied weights).
+
+    ``dense_matcher(img0, img1) -> (kpts0 (M,2), kpts1 (M,2), scores (M,))``
+    switches mapping to the dense path (reference match_dense.py 'loftr'
+    conf family): per-pair semi-dense correspondences are quantized into
+    shared per-image keypoints (sfm/match_dense.py) before track building —
+    pass e.g. ``lambda a, b: loftr_match(params, gray(a), gray(b))``."""
     n = len(images)
     if extractor is None:
         extractor = lambda img: extract_harris_features(
@@ -85,9 +98,7 @@ def build_point_model(
     if global_desc_fn is None:
         global_desc_fn = lambda img: tiny_image_descriptor(jnp.asarray(img))
 
-    feats = [extractor(img) for img in images]
     gdesc = np.stack([np.asarray(global_desc_fn(img)) for img in images])
-    log_fn(f"extracted features for {n} mapping images")
 
     names = list(range(n))
     pair_idx = [(a, b) for a, b in pairs_sequential(names, cfg.match_window)]
@@ -101,17 +112,46 @@ def build_point_model(
                 pair_idx.append((a, b))
 
     pair_matches: Dict[Tuple[int, int], np.ndarray] = {}
-    for (a, b) in pair_idx:
-        m = match_mutual_nn(feats[a].descriptors, feats[b].descriptors,
-                            feats[a].scores > 0, feats[b].scores > 0,
-                            ratio_thresh=cfg.ratio_thresh)
-        mi = np.asarray(m.matches0)
-        ok = mi >= 0
-        if ok.sum() < 8:
-            continue
-        pair_matches[(a, b)] = np.stack(
-            [np.nonzero(ok)[0], mi[ok]], axis=1)
-    log_fn(f"matched {len(pair_matches)} pairs")
+    if dense_matcher is not None:
+        from ..sfm.match_dense import aggregate_dense_matches
+
+        dense = {}
+        for (a, b) in pair_idx:
+            k0, k1, sc = dense_matcher(images[a], images[b])
+            dense[(a, b)] = (np.asarray(k0), np.asarray(k1), np.asarray(sc))
+        kp_of, kp_scores, dmatches = aggregate_dense_matches(
+            dense, max_error=cfg.dense_max_error,
+            cell_size=cfg.dense_cell_size, max_kps=cfg.dense_max_kps)
+        empty2 = np.zeros((0, 2), np.float32)
+        feats = [
+            Features(
+                keypoints=jnp.asarray(kp_of.get(i, empty2)),
+                scores=jnp.asarray(
+                    kp_scores.get(i, np.zeros((0,), np.float32))),
+                descriptors=jnp.zeros((len(kp_of.get(i, empty2)), 0),
+                                      jnp.float32),
+            )
+            for i in names
+        ]
+        for (a, b), (m, _s) in dmatches.items():
+            if len(m) >= 8:
+                pair_matches[(a, b)] = m
+        log_fn(f"dense-matched {len(pair_matches)} pairs; "
+               f"{sum(len(f.keypoints) for f in feats)} aggregated keypoints")
+    else:
+        feats = [extractor(img) for img in images]
+        log_fn(f"extracted features for {n} mapping images")
+        for (a, b) in pair_idx:
+            m = match_mutual_nn(feats[a].descriptors, feats[b].descriptors,
+                                feats[a].scores > 0, feats[b].scores > 0,
+                                ratio_thresh=cfg.ratio_thresh)
+            mi = np.asarray(m.matches0)
+            ok = mi >= 0
+            if ok.sum() < 8:
+                continue
+            pair_matches[(a, b)] = np.stack(
+                [np.nonzero(ok)[0], mi[ok]], axis=1)
+        log_fn(f"matched {len(pair_matches)} pairs")
 
     kps = [np.asarray(f.keypoints) for f in feats]
     counts = [k.shape[0] for k in kps]
@@ -213,6 +253,78 @@ def localize_query_pnp(
             return res.qvec, res.tvec, info
 
     # fallback: top retrieved pose
+    cam = train_cameras[retrieved[0]]
+    w2c = np.asarray(cam.w2c)
+    info["method"] = "retrieval_fallback"
+    return rotmat_to_quat(w2c[:3, :3]), w2c[:3, 3], info
+
+
+def localize_query_dense(
+    query_image: np.ndarray,
+    query_K: np.ndarray,
+    mapped: MappedScene,
+    train_cameras: Sequence[Camera],
+    dense_matcher: Callable,
+    train_images: Sequence[np.ndarray],
+    cfg: SfmInitConfig = SfmInitConfig(),
+    global_desc_fn: Optional[Callable] = None,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """PnP init via dense matching against retrieved train images.
+
+    The dense analog of ``localize_query_pnp``, mirroring the reference's
+    localization special case (match_dense.py:373-377: the query is name0
+    and its endpoints stay UNQUANTIZED — raw sub-pixel positions feed PnP;
+    only the train-side endpoints are NN-assigned to the map's aggregated
+    keypoints, which link to 3D tracks).
+    """
+    from ..sfm.match_dense import assign_to_fixed
+
+    if global_desc_fn is None:
+        global_desc_fn = lambda img: tiny_image_descriptor(jnp.asarray(img))
+    qg = np.asarray(global_desc_fn(query_image))[None]
+    ridx, _ = top_k_retrieval(qg, mapped.global_descs,
+                              min(cfg.retrieval_k, len(train_cameras)))
+    retrieved = [int(j) for j in ridx[0]]
+
+    obs_of = {}
+    for e in range(len(mapped.tracks.track_ids)):
+        obs_of.setdefault(int(mapped.tracks.image_idx[e]), []).append(e)
+
+    pts2d, pts3d, seen = [], [], set()
+    for j in retrieved:
+        if j not in obs_of:
+            continue
+        k_q, k_j, sc = dense_matcher(query_image, train_images[j])
+        k_q = np.asarray(k_q, np.float64).reshape(-1, 2)
+        k_j = np.asarray(k_j, np.float64).reshape(-1, 2)
+        sc = np.asarray(sc, np.float64).reshape(-1)
+        live = sc > 0
+        k_q, k_j = k_q[live], k_j[live]
+        ids_j = assign_to_fixed(k_j, np.asarray(mapped.features[j].keypoints),
+                                max(cfg.dense_max_error, 1.0))
+        kp_to_track = {
+            int(mapped.tracks.kp_idx[e]): int(mapped.tracks.track_ids[e])
+            for e in obs_of[j]
+        }
+        for qi in np.nonzero(ids_j >= 0)[0]:
+            tid = kp_to_track.get(int(ids_j[qi]))
+            if tid is None or not mapped.valid[tid] or tid in seen:
+                continue
+            seen.add(tid)
+            pts2d.append(k_q[qi])
+            pts3d.append(mapped.points[tid])
+
+    info = {"num_matches": len(pts2d), "retrieved": retrieved}
+    if len(pts2d) >= 6:
+        res = pnp_ransac(np.asarray(pts2d), np.asarray(pts3d), query_K,
+                         max_error_px=cfg.pnp_max_error_px, seed=seed,
+                         min_inliers=cfg.min_pnp_inliers)
+        info["num_inliers"] = res.num_inliers
+        if res.success and res.num_inliers >= cfg.min_pnp_inliers:
+            info["method"] = "pnp"
+            return res.qvec, res.tvec, info
+
     cam = train_cameras[retrieved[0]]
     w2c = np.asarray(cam.w2c)
     info["method"] = "retrieval_fallback"

@@ -52,6 +52,15 @@ RETRIEVAL_CONFS: Dict[str, Dict[str, Any]] = {
     "tiny": {"kind": "tiny"},
 }
 
+# dense-matcher confs: quantization pitches of the keypoint aggregation,
+# mirroring hloc's match_dense confs (/root/reference/hloc/match_dense.py:
+# 38-64 — 'loftr' 1/1, 'loftr_aachen' 2/8, 'loftr_superpoint' 4/4)
+DENSE_CONFS: Dict[str, Dict[str, Any]] = {
+    "loftr": {"kind": "loftr", "max_error": 1.0, "cell_size": 1.0},
+    "loftr_aachen": {"kind": "loftr", "max_error": 2.0, "cell_size": 8.0},
+    "loftr_superpoint": {"kind": "loftr", "max_error": 4.0, "cell_size": 4.0},
+}
+
 
 def get_extractor(conf: str, params: Optional[Any] = None,
                   **overrides) -> Callable[[jnp.ndarray], Features]:
@@ -120,6 +129,28 @@ def get_matcher(conf: str, params: Optional[Any] = None, **overrides):
             params, f0.keypoints, f0.descriptors,
             f1.keypoints, f1.descriptors, s0[0], s0[1], s1[0], s1[1])
     raise KeyError(kind)
+
+
+def get_dense_matcher(conf: str, params: Optional[Any] = None,
+                      **overrides):
+    """Returns ``(matcher(img0, img1) -> (kpts0, kpts1, scores), cfg)``
+    where cfg carries the aggregation pitches (max_error, cell_size) to pass
+    to ``sfm.match_dense.aggregate_dense_matches`` / SfmInitConfig."""
+    if conf not in DENSE_CONFS:
+        raise KeyError(f"unknown dense conf '{conf}'; "
+                       f"have {sorted(DENSE_CONFS)}")
+    cfg = {**DENSE_CONFS[conf], **overrides}
+    kind = cfg.pop("kind")
+    if params is None:
+        raise ValueError(f"conf '{conf}' needs converted weights (params)")
+    assert kind == "loftr"
+    from .loftr import loftr_match
+
+    def matcher(img0, img1):
+        m = loftr_match(params, _gray(img0), _gray(img1))
+        return m.kpts0, m.kpts1, m.scores
+
+    return matcher, cfg
 
 
 def get_global_descriptor(conf: str, params: Optional[Any] = None):

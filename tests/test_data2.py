@@ -17,7 +17,8 @@ from gs_localization_tpu.data.seven_scenes import (
     flat_name, prepare_scene, seq_dir_from_split_line,
 )
 from gs_localization_tpu.sfm.pairs import (
-    pairs_exhaustive, pairs_from_covisibility, pairs_sequential,
+    pairs_exhaustive, pairs_from_covisibility, pairs_from_poses,
+    pairs_sequential,
 )
 
 from helpers import make_camera
@@ -81,6 +82,29 @@ class TestPairs:
         assert ("im1", "im2") in pairs      # share 2 points
         assert ("im2", "im1") in pairs
         assert not any(a == "im4" for a, b in pairs)
+
+    def test_from_poses(self):
+        # cameras on a line looking +z, plus one rotated 90 deg (gated out)
+        def im(i, center, r=None):
+            r = np.eye(3) if r is None else r
+            t = -r @ np.asarray(center, np.float64)
+            from gs_localization_tpu.core.camera import rotmat_to_quat
+            q = np.asarray(rotmat_to_quat(r))
+            return ColmapImage(i, q, t, 1, f"im{i}", np.zeros((0, 2)),
+                               np.zeros((0,), np.int64))
+        ry90 = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float64)
+        images = {1: im(1, [0, 0, 0]), 2: im(2, [1, 0, 0]),
+                  3: im(3, [5, 0, 0]), 4: im(4, [0.5, 0, 0], ry90)}
+        pairs = pairs_from_poses(images, num_matched=1)
+        # nearest same-axis neighbor wins; the rotated camera never pairs
+        assert ("im1", "im2") in pairs
+        assert ("im2", "im1") in pairs
+        assert ("im3", "im2") in pairs
+        assert not any("im4" in p for pair in pairs for p in pair)
+        # with a large rotation threshold im4 becomes im1's nearest
+        loose = pairs_from_poses(images, num_matched=1,
+                                 rotation_threshold=180.0)
+        assert ("im1", "im4") in loose
 
     def test_exhaustive_and_sequential(self):
         names = ["a", "b", "c", "d"]
