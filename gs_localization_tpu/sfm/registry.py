@@ -36,6 +36,7 @@ EXTRACTOR_CONFS: Dict[str, Dict[str, Any]] = {
     "d2net-ss": {"kind": "d2net", "num_keypoints": 5000},
     "sift": {"kind": "sift", "num_keypoints": 4096},
     "dog": {"kind": "sift", "num_keypoints": 4096},
+    "disk": {"kind": "disk", "num_keypoints": 5000, "nms_window_size": 5},
 }
 
 MATCHER_CONFS: Dict[str, Dict[str, Any]] = {
@@ -96,6 +97,12 @@ def get_extractor(conf: str, params: Optional[Any] = None,
 
         return lambda img: extract_d2net(
             params, _rgb(img), num_keypoints=cfg["num_keypoints"])
+    if kind == "disk":
+        from .disk import extract_disk
+
+        return lambda img: extract_disk(
+            params, _rgb(img), num_keypoints=cfg["num_keypoints"],
+            window_size=cfg.get("nms_window_size", 5))
     raise KeyError(kind)
 
 
