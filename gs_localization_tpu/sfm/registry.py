@@ -50,6 +50,7 @@ MATCHER_CONFS: Dict[str, Dict[str, Any]] = {
 
 RETRIEVAL_CONFS: Dict[str, Dict[str, Any]] = {
     "netvlad": {"kind": "netvlad"},
+    "dir": {"kind": "dir"},
     "tiny": {"kind": "tiny"},
 }
 
@@ -170,7 +171,11 @@ def get_global_descriptor(conf: str, params: Optional[Any] = None):
 
         return lambda img: tiny_image_descriptor(jnp.asarray(img))
     if params is None:
-        raise ValueError("netvlad needs converted weights (params)")
+        raise ValueError(f"'{conf}' needs converted weights (params)")
+    if kind == "dir":
+        from .dir import dir_descriptor
+
+        return lambda img: dir_descriptor(params, _rgb(img))
     from .netvlad import netvlad_descriptor
 
     return lambda img: netvlad_descriptor(params, jnp.asarray(img))
