@@ -1,0 +1,66 @@
+"""Honest timing on the tunneled TPU runtime.
+
+The axon runtime executes lazily and its block_until_ready under-reports;
+a host fetch costs a ~25 ms round trip. Measuring anything shorter than
+~100 ms therefore requires chaining K executions of the op inside ONE jit
+(serialized by a data dependency) and fetching once.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def fetch(out):
+    """Force a real host fetch of one leaf."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def measure_floor(reps: int = 5) -> float:
+    """Dispatch + fetch round-trip time (seconds)."""
+    x0 = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda x: x + 1.0)
+    fetch(f(x0))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fetch(f(x0))
+    return (time.perf_counter() - t0) / reps
+
+
+def chained_time(op, x, K: int = 20, reps: int = 3,
+                 floor: float | None = None) -> float:
+    """Per-execution seconds of ``op`` (pytree -> pytree), chained K times
+    inside one jit via a scalar data dependency."""
+
+    def body(i, carry):
+        x, acc = carry
+        y = op(x)
+        leaf = jnp.asarray(jax.tree_util.tree_leaves(y)[0])
+        # float accumulator: returned from the jit (op can't be DCE'd) and
+        # folded back into x as acc-acc (float sub: XLA can't simplify to 0
+        # because of NaN/inf semantics, so the loop can't be LICM-hoisted;
+        # int tricks like *0 get constant-folded)
+        acc = acc + leaf.ravel()[0].astype(jnp.float32)
+        noise = acc - acc
+        x = jax.tree_util.tree_map(
+            lambda a: a + noise.astype(a.dtype), x)
+        return x, acc
+
+    def run(x):
+        _, acc = jax.lax.fori_loop(0, K, body, (x, jnp.float32(0.0)))
+        return acc
+
+    f = jax.jit(run)
+    fetch(f(x))  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fetch(f(x))
+    total = (time.perf_counter() - t0) / reps
+    if floor is None:
+        floor = measure_floor()
+    return max(total - floor, 0.0) / K

@@ -58,6 +58,143 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+class StreamBins(NamedTuple):
+    """Depth-rank pair stream (the fast layout for the Pallas blend).
+
+    v5e profiling (benchmarks/micro_binning.py): 1-D *element* gathers cost
+    ~7.5 ns/index while multi-column *row* gathers cost ~1.8 ns/row, and the
+    XLA transpose-of-gather scatter-add in the blend backward costs ~20 ms at
+    1.2 M pairs. This layout eliminates every element gather and the
+    backward scatter: the pair order comes out of ONE 2-operand sort
+    (key, slot), the inverse permutation out of a second cheap sort, and the
+    backward reduction runs in slot order — a reshape-sum over the fast
+    slots plus a cumsum over the contiguous slow-path segments.
+
+    All ids below are depth RANKS (positions in the depth sort); ``order``
+    maps rank -> original Gaussian index.
+    """
+
+    order: jnp.ndarray        # (P,) int32 depth order (rank -> orig id)
+    rank_of_pos: jnp.ndarray  # (N,) int32 depth rank per sorted position
+    pos_by_slot: jnp.ndarray  # (N,) int32 sorted position per pair slot
+    #   slots: fast = rank * fast_k + k, slow = P * fast_k + pair_idx
+    winslot: jnp.ndarray      # (N,) int32 tile*cap + lane per position
+    win_valid: jnp.ndarray    # (N,) bool: position materialized in a window
+    slow_starts: jnp.ndarray  # (P + 1,) int32 slow-path segment bounds/rank
+    tstart: jnp.ndarray       # (num_tiles,) int32 position of tile start
+    tile_counts: jnp.ndarray  # (num_tiles,) int32 true counts (uncapped)
+    num_rendered: jnp.ndarray   # () int32
+    overflow: jnp.ndarray       # () bool — slow-path pair capacity exceeded
+    tile_overflow: jnp.ndarray  # () bool — some tile truncated at the cap
+    max_tile_count: jnp.ndarray  # () int32
+
+
+def bin_stream(
+    prep: Preprocessed,
+    grid_x: int,
+    grid_y: int,
+    max_pairs: int,
+    max_per_tile: int,
+    fast_k: int = 4,
+) -> StreamBins:
+    """Depth-sorted tile binning as a pair stream (see StreamBins).
+
+    Same semantics as ``bin_gaussians`` (identical packed keys and sort),
+    reorganized so downstream work is row gathers only.
+    """
+    assert fast_k >= 1, "stream binning requires a fast path"
+    p = prep.depths.shape[0]
+    num_tiles = grid_x * grid_y
+    rank_size = _next_pow2(max(p, 2))
+    assert (num_tiles + 1) * rank_size < 2**31
+
+    depth_key = jnp.where(
+        prep.valid,
+        jax.lax.bitcast_convert_type(prep.depths, jnp.int32),
+        INT32_MAX,
+    )
+    order = jnp.argsort(depth_key).astype(jnp.int32)
+    rect_s = prep.rect[order]                            # row gather (P, 4)
+    touched_s = prep.tiles_touched[order]
+    w_s = jnp.maximum(rect_s[:, 2] - rect_s[:, 0], 1)
+
+    sentinel = jnp.int32(num_tiles * rank_size)
+    k_idx = jnp.arange(fast_k, dtype=jnp.int32)[None, :]
+    tile_x = rect_s[:, 0:1] + k_idx % w_s[:, None]
+    tile_y = rect_s[:, 1:2] + k_idx // w_s[:, None]
+    tile_fast = tile_y * grid_x + tile_x
+    is_fast = touched_s <= fast_k
+    ok_fast = is_fast[:, None] & (k_idx < touched_s[:, None])
+    rank = jnp.arange(p, dtype=jnp.int32)[:, None]
+    key_fast = jnp.where(ok_fast, tile_fast * rank_size + rank, sentinel)
+
+    touched_slow = jnp.where(is_fast, 0, touched_s)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(touched_slow, dtype=jnp.int32)]
+    )
+    total_slow = starts[-1]
+    pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
+    pair_ok = pair_idx < jnp.minimum(total_slow, max_pairs)
+    mark = jnp.zeros((max_pairs,), jnp.int32).at[starts[:p]].max(
+        jnp.arange(p, dtype=jnp.int32), mode="drop"
+    )
+    gsrt = jax.lax.associative_scan(jnp.maximum, mark)
+    table = jnp.stack([rect_s[:, 0], rect_s[:, 1], w_s, starts[:p]], axis=1)
+    rows = table[gsrt]                                   # row gather (MP, 4)
+    local = pair_idx - rows[:, 3]
+    w_g = rows[:, 2]
+    tx = rows[:, 0] + local % w_g
+    ty = rows[:, 1] + local // w_g
+    key_slow = jnp.where(
+        pair_ok, (ty * grid_x + tx) * rank_size + gsrt, sentinel
+    )
+
+    keys = jnp.concatenate([key_fast.reshape(-1), key_slow])
+    n = keys.shape[0]
+    slots = jnp.arange(n, dtype=jnp.int32)
+    keys_sorted, slot_of_pos = jax.lax.sort((keys, slots))
+    # inverse permutation: second sort is ~10x cheaper than a scatter here
+    _, pos_by_slot = jax.lax.sort((slot_of_pos, slots))
+
+    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) * rank_size
+    bounds = jnp.searchsorted(keys_sorted, boundaries, side="left").astype(
+        jnp.int32
+    )
+    tstart = bounds[:-1]
+    tcount = bounds[1:] - bounds[:-1]
+
+    rank_of_pos = keys_sorted & (rank_size - 1)
+    tile_of_pos = keys_sorted // rank_size               # non-decreasing
+    # lane within tile via segment-base scan (a tstart[tile_of_pos] element
+    # gather would cost ~7.5 ms at 1M positions)
+    changed = jnp.concatenate(
+        [jnp.ones((1,), bool), tile_of_pos[1:] != tile_of_pos[:-1]]
+    )
+    seg_base = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(changed, slots, 0)
+    )
+    lane = slots - seg_base
+    win_valid = (tile_of_pos < num_tiles) & (lane < max_per_tile)
+    winslot = jnp.where(win_valid, tile_of_pos * max_per_tile + lane, 0)
+
+    num_rendered = jnp.sum(touched_s, dtype=jnp.int32)
+    max_tile_count = jnp.max(tcount)
+    return StreamBins(
+        order=order,
+        rank_of_pos=jnp.minimum(rank_of_pos, p - 1),
+        pos_by_slot=pos_by_slot,
+        winslot=winslot,
+        win_valid=win_valid,
+        slow_starts=starts,
+        tstart=tstart,
+        tile_counts=tcount,
+        num_rendered=num_rendered,
+        overflow=total_slow > max_pairs,
+        tile_overflow=max_tile_count > max_per_tile,
+        max_tile_count=max_tile_count,
+    )
+
+
 def bin_gaussians(
     prep: Preprocessed,
     grid_x: int,

@@ -236,8 +236,10 @@ def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref,
 
 
 @functools.lru_cache(maxsize=32)
-def _make_core(num_tiles: int, grid_x: int, ts: int, cap: int, chunk: int,
-               interpret: bool):
+def _make_core_calls(num_tiles: int, grid_x: int, ts: int, cap: int,
+                     chunk: int, interpret: bool):
+    """Raw (fwd_call, bwd_call) pallas_call pair — shared by the local
+    custom_vjp below and the stream assembly in stream_blend.py."""
     npix = ts * ts
     fwd_kernel = functools.partial(
         _fwd_kernel, grid_x=grid_x, ts=ts, cap=cap, chunk=chunk
@@ -292,6 +294,14 @@ def _make_core(num_tiles: int, grid_x: int, ts: int, cap: int, chunk: int,
         ],
         interpret=interpret,
     )
+    return fwd_call, bwd_call
+
+
+@functools.lru_cache(maxsize=32)
+def _make_core(num_tiles: int, grid_x: int, ts: int, cap: int, chunk: int,
+               interpret: bool):
+    fwd_call, bwd_call = _make_core_calls(num_tiles, grid_x, ts, cap, chunk,
+                                          interpret)
 
     @jax.custom_vjp
     def core(counts, geom, rgbd):

@@ -58,17 +58,25 @@ def compute_bins(
     gaussians: GaussianParams,
     camera: Camera,
     config: RasterizerConfig = RasterizerConfig(),
-) -> binning_lib.Binning:
+):
     """Preprocess + bin only (no blending). Use with ``rasterize(bins=...)``
     to amortize binning across nearby camera poses — e.g. the pose-refinement
     inner loop, where the pose moves by ~1e-3 per Adam step and the tile
     lists are effectively static (an optimization the reference's
-    per-iteration CUDA sort cannot express)."""
+    per-iteration CUDA sort cannot express).
+
+    Returns ``StreamBins`` for the pallas backend (the fast stream layout,
+    see binning.py) and the legacy ``Binning`` index matrix otherwise."""
     ts = config.tile_size
     grid_x = -(-camera.width // ts)
     grid_y = -(-camera.height // ts)
     prep = preprocess(gaussians, camera, tile_size=ts,
                       scale_modifier=config.scale_modifier)
+    if _blend_mode(config.backend) in ("pallas", "pallas_interpret"):
+        return binning_lib.bin_stream(
+            prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
+            fast_k=max(config.fast_k, 1),
+        )
     return binning_lib.bin_gaussians(
         prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
         fast_k=config.fast_k,
@@ -102,14 +110,40 @@ def rasterize(
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
 
-    if bins is None:
-        bins = binning_lib.bin_gaussians(
-            prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
-            fast_k=config.fast_k,
-        )
-
     mode = _blend_mode(config.backend)
-    if mode in ("pallas", "pallas_interpret"):
+    # n_touched needs the (T, cap) id matrix; otherwise the pallas backend
+    # takes the stream layout (row-gathers only, scatter-free backward)
+    want_stream = (mode in ("pallas", "pallas_interpret")
+                   and not return_n_touched)
+    is_stream_bins = isinstance(bins, binning_lib.StreamBins)
+    use_stream = want_stream and (bins is None or is_stream_bins)
+    if bins is None or (is_stream_bins and not use_stream):
+        if use_stream:
+            bins = binning_lib.bin_stream(
+                prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
+                fast_k=max(config.fast_k, 1),
+            )
+        else:
+            bins = binning_lib.bin_gaussians(
+                prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
+                fast_k=config.fast_k,
+            )
+
+    if use_stream:
+        from . import stream_blend
+        pack = jnp.stack(
+            [means2d[:, 0], means2d[:, 1],
+             prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+             prep.opacity, prep.valid.astype(jnp.float32),
+             jnp.zeros_like(prep.opacity),
+             prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2], prep.depths],
+            axis=1)                                       # (P, 12)
+        out = stream_blend.blend_stream_pallas(
+            pack, bins, grid_x, ts, config.max_per_tile,
+            max(config.fast_k, 1), chunk=config.pallas_chunk,
+            interpret=(mode == "pallas_interpret"),
+        )
+    elif mode in ("pallas", "pallas_interpret"):
         from . import pallas_blend
         out = pallas_blend.blend_tiles_pallas(
             bins.tile_gid, bins.tile_counts, means2d, prep.conic, prep.rgb,
