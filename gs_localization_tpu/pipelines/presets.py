@@ -74,3 +74,29 @@ def seven_scenes_map_cfg(extent: float) -> MapTrainConfig:
 def cambridge_map_cfg(extent: float) -> MapTrainConfig:
     return MapTrainConfig(spatial_scale=extent, lambda_gt_depth=0.0,
                           lambda_pseudo_depth=0.005)
+
+
+def mip360_tracking() -> TrackingConfig:
+    """360/LLFF: 50 iters @ lr 1e-3, converge 1e-4, monocular
+    (reference pipelines/360_localize.py:36-67,89,296)."""
+    return TrackingConfig(
+        num_iters=50, lr=1e-3, convergence=1e-4,
+        opacity_threshold=0.99, monocular=True,
+    )
+
+
+def mip360_localize() -> LocalizePipelineConfig:
+    return LocalizePipelineConfig(
+        edge_threshold=1.1, keypoint_box=10, keypoint_score_min=0.2,
+        tracking=mip360_tracking(),
+    )
+
+
+def mip360_training() -> TrainPipelineConfig:
+    """sh_degree 1 (reference gs/360_gs.py:334, llff variants ditto)."""
+    return TrainPipelineConfig(iterations=30_000, sh_degree=1)
+
+
+def mip360_map_cfg(extent: float) -> MapTrainConfig:
+    return MapTrainConfig(spatial_scale=extent, lambda_gt_depth=0.0,
+                          lambda_pseudo_depth=0.005)

@@ -25,9 +25,21 @@ import numpy as np
 
 
 def stage_prepare(args) -> None:
-    from ..data.seven_scenes import prepare_scene
+    if args.preset == "cambridge":
+        from ..data.prepare import prepare_cambridge
 
-    train, test = prepare_scene(args.scene)
+        train, test = prepare_cambridge(
+            args.scene, depth_dir=args.depth_dir,
+            size=tuple(args.prepare_size))
+    elif args.preset in ("llff", "mip360"):
+        from ..data.prepare import prepare_360, prepare_llff
+
+        fn = prepare_llff if args.preset == "llff" else prepare_360
+        train, test = fn(args.scene)
+    else:
+        from ..data.seven_scenes import prepare_scene
+
+        train, test = prepare_scene(args.scene)
     print(f"prepared: {len(train)} train / {len(test)} test images")
 
 
@@ -37,6 +49,22 @@ def _load_scene(args):
 
     if args.preset == "seven_scenes":
         return load_seven_scenes_scene(args.scene, model_dir=args.model_dir)
+    if args.preset in ("llff", "mip360"):
+        from ..data.prepare import load_llff_scene
+
+        return load_llff_scene(args.scene)
+    if args.preset == "cambridge":
+        def read_list(fname):
+            path = os.path.join(args.scene, fname)
+            return [l.strip() for l in open(path) if l.strip()] \
+                if os.path.exists(path) else None
+
+        return load_colmap_scene(
+            os.path.join(args.scene, "sparse/0"),
+            images_dir=os.path.join(args.scene, args.images_dir),
+            train_list=read_list("train_full.txt"),
+            test_list=read_list("test_full.txt"),
+        )
     return load_colmap_scene(
         os.path.join(args.scene, args.model_dir),
         images_dir=os.path.join(args.scene, args.images_dir),
@@ -78,6 +106,17 @@ def stage_sfm(args) -> None:
     os.makedirs(args.out, exist_ok=True)
     write_pose_results(out, poses)
     print(f"wrote {out}")
+    # persist the triangulated cloud: scenes whose gt model carries no
+    # points3D (cambridge/llff layouts) initialize the map from it
+    # (reference flow: sfm triangulated model -> gs points3D.ply)
+    valid = np.asarray(mapped.valid)
+    pts = np.asarray(mapped.points)[valid]
+    cols = (np.asarray(mapped.track_colors)[valid]
+            if mapped.track_colors is not None
+            else np.full((len(pts), 3), 0.5, np.float32))
+    np.savez(os.path.join(args.out, "sfm_points.npz"),
+             points=pts.astype(np.float32), colors=cols.astype(np.float32))
+    print(f"saved {len(pts)} sfm points")
 
 
 def stage_train(args) -> None:
@@ -85,15 +124,24 @@ def stage_train(args) -> None:
     from ..raster import RasterizerConfig
 
     scene = _load_scene(args)
-    tcfg = (presets.cambridge_training() if args.preset == "cambridge"
-            else presets.seven_scenes_training())
+    sfm_pts = os.path.join(args.out, "sfm_points.npz")
+    if scene.points.shape[0] == 0 and os.path.exists(sfm_pts):
+        d = np.load(sfm_pts)
+        scene.points = d["points"]
+        scene.colors = d["colors"]
+        print(f"initialized from {len(d['points'])} sfm points")
+    tcfg = {"cambridge": presets.cambridge_training,
+            "llff": presets.mip360_training,
+            "mip360": presets.mip360_training}.get(
+        args.preset, presets.seven_scenes_training)()
     if args.iterations:
         tcfg.iterations = args.iterations
         tcfg.test_iterations = (args.iterations,)
         tcfg.save_iterations = (args.iterations,)
-    mcfg = (presets.cambridge_map_cfg(scene.extent)
-            if args.preset == "cambridge"
-            else presets.seven_scenes_map_cfg(scene.extent))
+    mcfg = {"cambridge": presets.cambridge_map_cfg,
+            "llff": presets.mip360_map_cfg,
+            "mip360": presets.mip360_map_cfg}.get(
+        args.preset, presets.seven_scenes_map_cfg)(scene.extent)
     rcfg = RasterizerConfig(max_pairs=args.max_pairs,
                             max_per_tile=args.max_per_tile)
     train_map(scene, args.out, tcfg, mcfg, rcfg)
@@ -116,8 +164,10 @@ def stage_localize(args) -> None:
         "point_cloud.ply")
     gaussians = load_map(map_path)
     init = read_pose_results(os.path.join(args.out, "results_dense.txt"))
-    lcfg = (presets.cambridge_localize() if args.preset == "cambridge"
-            else presets.seven_scenes_localize())
+    lcfg = {"cambridge": presets.cambridge_localize,
+            "llff": presets.mip360_localize,
+            "mip360": presets.mip360_localize}.get(
+        args.preset, presets.seven_scenes_localize)()
     rcfg = RasterizerConfig(max_pairs=args.max_pairs,
                             max_per_tile=args.max_per_tile)
     queries = []
@@ -155,17 +205,28 @@ def main(argv=None) -> None:
     ap.add_argument("--stage", default="all",
                     choices=["prepare", "sfm", "train", "localize", "all"])
     ap.add_argument("--preset", default="seven_scenes",
-                    choices=["seven_scenes", "cambridge", "colmap"])
+                    choices=["seven_scenes", "cambridge", "llff", "mip360",
+                             "colmap"])
+    ap.add_argument("--depth-dir", default=None,
+                    help="Cambridge_additional-style depth tree for prepare")
+    ap.add_argument("--prepare-size", type=int, nargs=2,
+                    default=(1024, 576),
+                    help="cambridge prepare resize WxH (reference: 1024 576)")
     ap.add_argument("--model-dir", default="sparse_dslam/0")
     ap.add_argument("--images-dir", default="images_full")
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--map", default=None)
-    ap.add_argument("--use-depth", action="store_true", default=True)
+    ap.add_argument("--use-depth", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="default: on for seven_scenes (RGB-D), off for "
+                         "the monocular presets (cambridge/llff/mip360)")
     ap.add_argument("--max-pairs", type=int, default=1 << 21)
     ap.add_argument("--max-per-tile", type=int, default=1024)
     args = ap.parse_args(argv)
     if args.out is None:
         args.out = os.path.join(args.scene, "output_tpu")
+    if args.use_depth is None:
+        args.use_depth = args.preset == "seven_scenes"
 
     stages = ([args.stage] if args.stage != "all"
               else ["prepare", "sfm", "train", "localize"])

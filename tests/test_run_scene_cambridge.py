@@ -1,0 +1,95 @@
+"""run_scene CLI end-to-end on a synthetic Cambridge-shaped disk layout.
+
+VERDICT r1 #9 "done" criterion: --preset cambridge --stage all works on a
+synthetic Cambridge-shaped layout (prepare -> sfm -> train -> localize).
+The world is a textured Gaussian cloud; views are rendered, written as
+seqN/frameNNNNN.png files with dataset_{train,test}.txt and a model_train
+COLMAP model, then the four stages run through the real CLI entry point.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gs_localization_tpu.core.camera import rotmat_to_quat
+from gs_localization_tpu.data.colmap import (
+    ColmapCamera, ColmapImage, write_colmap_model_text,
+)
+from gs_localization_tpu.pipelines import run_scene
+from gs_localization_tpu.raster import RasterizerConfig, rasterize
+
+from helpers import random_scene, make_camera
+
+CFG = RasterizerConfig(max_pairs=1 << 15, max_per_tile=256, chunk=32,
+                       backend="jnp")
+W, H = 160, 120
+
+
+@pytest.fixture(scope="module")
+def cambridge_layout(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("cambridge") / "TinyCollege"
+    (root / "seq1").mkdir(parents=True)
+    (root / "seq4").mkdir()
+    rng = np.random.default_rng(21)
+    world = random_scene(rng, n=900, sh_degree=1, spread=1.6,
+                         z_range=(3.0, 6.0), scale_range=(-4.2, -3.2))
+    cams, names = [], []
+    for i in range(7):
+        tau = np.zeros(6, np.float32)
+        tau[:3] = 0.08 * rng.standard_normal(3)
+        tau[3:] = 0.02 * rng.standard_normal(3)
+        cams.append(make_camera(W, H, fov=1.0).with_delta(jnp.asarray(tau)))
+        seq = "seq1" if i < 5 else "seq4"
+        names.append(f"{seq}/frame{i:05d}.png")
+    for cam, name in zip(cams, names):
+        img = np.asarray(rasterize(world, cam, CFG).color)
+        arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / name)
+
+    with open(root / "dataset_train.txt", "w") as f:
+        f.write("Visual Landmark Dataset\nImageFile, Camera Position\n\n")
+        for n in names[:5]:
+            f.write(f"{n} 0 0 0 1 0 0 0\n")
+    with open(root / "dataset_test.txt", "w") as f:
+        for n in names[5:]:
+            f.write(f"{n} 0 0 0 1 0 0 0\n")
+
+    cam0 = cams[0]
+    colmap_cams = {1: ColmapCamera(
+        1, "PINHOLE", W, H,
+        np.array([float(cam0.fx), float(cam0.fy),
+                  float(cam0.cx), float(cam0.cy)], np.float64))}
+    imgs = {}
+    for i, (cam, name) in enumerate(zip(cams, names)):
+        w2c = np.asarray(cam.w2c)
+        q = np.asarray(rotmat_to_quat(jnp.asarray(w2c[:3, :3])))
+        imgs[i + 1] = ColmapImage(i + 1, q, w2c[:3, 3], 1, name,
+                                  np.zeros((0, 2)),
+                                  np.zeros((0,), np.int64))
+    (root / "model_train").mkdir()
+    write_colmap_model_text(str(root / "model_train"), colmap_cams, imgs, {})
+    return root, cams
+
+
+def test_all_stages(cambridge_layout):
+    root, cams = cambridge_layout
+    out = str(root / "output_tpu")
+    run_scene.main([
+        "--scene", str(root), "--preset", "cambridge", "--stage", "all",
+        "--iterations", "250", "--prepare-size", str(W), str(H),
+        "--max-pairs", str(1 << 15), "--max-per-tile", "256",
+        "--out", out,
+    ])
+    assert os.path.exists(os.path.join(out, "results_dense.txt"))
+    assert os.path.exists(os.path.join(
+        out, "gs_map/iteration_250/point_cloud.ply"))
+    assert os.path.exists(os.path.join(out, "results.txt"))
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    # gt poses in this layout equal the render poses; PnP init + mono
+    # refinement on a 250-iter map should stay within coarse bounds
+    assert metrics["median_trans_m"] < 0.5, metrics
