@@ -46,11 +46,17 @@ MATCHER_CONFS: Dict[str, Dict[str, Any]] = {
     "lightglue": {"kind": "lightglue"},
     "NN-ratio": {"kind": "nn", "ratio_thresh": 0.8},
     "NN-mutual": {"kind": "nn", "ratio_thresh": 1.0},
+    # host-side spatial-consistency filter; no learned weights
+    # (reference conf match_features.py:77, matchers/adalam.py)
+    "adalam": {"kind": "adalam"},
 }
 
 RETRIEVAL_CONFS: Dict[str, Dict[str, Any]] = {
     "netvlad": {"kind": "netvlad"},
     "dir": {"kind": "dir"},
+    "openibl": {"kind": "openibl"},
+    "eigenplaces": {"kind": "eigenplaces"},
+    "cosplace": {"kind": "eigenplaces"},     # same architecture family
     "tiny": {"kind": "tiny"},
 }
 
@@ -114,6 +120,12 @@ def get_matcher(conf: str, params: Optional[Any] = None, **overrides):
                        f"have {sorted(MATCHER_CONFS)}")
     cfg = {**MATCHER_CONFS[conf], **overrides}
     kind = cfg.pop("kind")
+    if kind == "adalam":
+        from .adalam import AdalamConfig, adalam_match
+
+        acfg = AdalamConfig(**cfg) if cfg else AdalamConfig()
+        return lambda f0, f1, s0, s1: adalam_match(f0, f1, s0, s1,
+                                                   config=acfg)
     if kind == "nn":
         from .matching import match_mutual_nn
 
@@ -176,6 +188,14 @@ def get_global_descriptor(conf: str, params: Optional[Any] = None):
         from .dir import dir_descriptor
 
         return lambda img: dir_descriptor(params, _rgb(img))
+    if kind == "openibl":
+        from .openibl import openibl_descriptor
+
+        return lambda img: openibl_descriptor(params, _rgb(img))
+    if kind == "eigenplaces":
+        from .eigenplaces import eigenplaces_descriptor
+
+        return lambda img: eigenplaces_descriptor(params, _rgb(img))
     from .netvlad import netvlad_descriptor
 
     return lambda img: netvlad_descriptor(params, jnp.asarray(img))
