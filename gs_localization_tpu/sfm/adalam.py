@@ -79,6 +79,15 @@ def _candidates(desc0, desc1, valid0, valid1, ratio_thresh):
     return best01, ok, 1.0 - ratio, s_best
 
 
+def _pairwise_dist(p: np.ndarray) -> np.ndarray:
+    """(M, 2) -> (M, M) Euclidean distances, f32 matmul form (the naive
+    (M, M, 2) f64 broadcast allocates ~400 MB at 5k candidates)."""
+    p = np.asarray(p, np.float32)
+    sq = np.sum(p * p, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (p @ p.T)
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
 def _similarity_from_pairs(p0a, p0b, p1a, p1b):
     """Similarity transform (scale+rot+t) mapping (p0a,p0b) -> (p1a,p1b).
 
@@ -92,7 +101,7 @@ def _similarity_from_pairs(p0a, p0b, p1a, p1b):
     bad = np.abs(dz0) < 1e-6
     a = np.where(bad, 1.0, (z1b - z1a) / np.where(bad, 1.0, dz0))
     b = z1a - a * z0a
-    return a, b
+    return a, b, bad
 
 
 def adalam_filter(
@@ -130,7 +139,7 @@ def adalam_filter(
     m = cand.size
 
     # --- seed selection: score local maxima within r1 in image0 ------------
-    d0 = np.linalg.norm(p0[:, None] - p0[None, :], axis=-1)   # (M, M)
+    d0 = _pairwise_dist(p0)                                   # (M, M) f32
     near = d0 <= r1
     is_max = np.all(sc[:, None] >= np.where(near, sc[None, :], -np.inf), 1)
     seeds = np.nonzero(is_max)[0]
@@ -138,7 +147,7 @@ def adalam_filter(
         return np.full_like(matches0, -1)
 
     # --- neighborhood assignment -------------------------------------------
-    d1 = np.linalg.norm(p1[:, None] - p1[None, :], axis=-1)
+    d1 = _pairwise_dist(p1)
     nbr = (d0[seeds] <= er1) & (d1[seeds] <= er2)             # (S, M)
 
     if scales0 is not None and scales1 is not None:
@@ -174,11 +183,11 @@ def adalam_filter(
         ib = (ia + 1 + rng.integers(0, mem.size - 1, it)) % mem.size
         idx_a[si], idx_b[si] = mem[ia], mem[ib]
 
-    a, b = _similarity_from_pairs(p0[idx_a], p0[idx_b],
-                                  p1[idx_a], p1[idx_b])   # (S, it) complex
-    # degenerate / wild-scale hypotheses out
+    a, b, degen = _similarity_from_pairs(p0[idx_a], p0[idx_b],
+                                         p1[idx_a], p1[idx_b])  # (S, it)
+    # degenerate (coincident image0 sample) / wild-scale hypotheses out
     mag = np.abs(a)
-    good_h = (mag > 1.0 / 8.0) & (mag < 8.0)
+    good_h = (mag > 1.0 / 8.0) & (mag < 8.0) & ~degen
 
     z0 = p0[:, 0] + 1j * p0[:, 1]
     z1 = p1[:, 0] + 1j * p1[:, 1]
@@ -217,8 +226,10 @@ def adalam_filter(
     accept = best_sig >= config.min_confidence
 
     if config.refit and accept.any():
-        # least-squares affine refit on each accepted seed's inliers,
-        # then re-select inliers at the tightest threshold.
+        # least-squares affine refit on each accepted seed's inliers, then
+        # re-select inliers at the second-tightest threshold (0.04 * er2 —
+        # the affine fit tightens the model, but the strictest quantum
+        # rejects true inliers under noise).
         t = thr_fracs[1] * er2
         for si in np.nonzero(accept)[0]:
             inl = np.nonzero(best_inl[si])[0]
@@ -254,9 +265,15 @@ def adalam_match(feats0, feats1, shape0, shape1,
     """Candidate generation + AdaLAM filtering for two Features tuples.
 
     ``feats0/1`` need .keypoints, .descriptors, .scores (validity); SIFT-style
-    extractors may also carry .scales / .orientations which tighten the
-    neighborhood gates (reference required_inputs adalam.py:22-33).
+    extractors may also carry .scales / .orientations (radians — converted to
+    the degree convention of the gates here) which tighten the neighborhood
+    gates (reference required_inputs adalam.py:22-33; sfm/sift.py exports
+    both).
     """
+
+    def deg(x):
+        return None if x is None else np.degrees(np.asarray(x))
+
     desc0 = np.asarray(feats0.descriptors, np.float64)
     desc1 = np.asarray(feats1.descriptors, np.float64)
     valid0 = np.asarray(feats0.scores) > 0
@@ -269,8 +286,8 @@ def adalam_match(feats0, feats1, shape0, shape1,
         matches0, ratio_score, shape0, shape1,
         scales0=getattr(feats0, "scales", None),
         scales1=getattr(feats1, "scales", None),
-        oris0=getattr(feats0, "orientations", None),
-        oris1=getattr(feats1, "orientations", None),
+        oris0=deg(getattr(feats0, "orientations", None)),
+        oris1=deg(getattr(feats1, "orientations", None)),
         config=config)
     return AdalamResult(
         matches0=kept,

@@ -14,7 +14,7 @@ so batches of images vmap cleanly on TPU.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,11 @@ class Features(NamedTuple):
     keypoints: jnp.ndarray     # (K, 2) xy pixel coords
     scores: jnp.ndarray        # (K,) detector response (0 => invalid slot)
     descriptors: jnp.ndarray   # (K, D) L2-normalized
+    # optional per-keypoint geometry (SIFT-style extractors); feed the
+    # AdaLAM scale-rate / orientation-difference gates (sfm/adalam.py;
+    # reference kornia AdalamFilter required inputs, hloc matchers/adalam.py)
+    scales: Optional[jnp.ndarray] = None        # (K,) blur scale
+    orientations: Optional[jnp.ndarray] = None  # (K,) radians
 
 
 def _gauss_kernel(sigma: float, radius: int) -> np.ndarray:

@@ -203,6 +203,7 @@ def extract_sift(image_gray: jnp.ndarray, num_keypoints: int = 1024,
     img = image_gray.astype(jnp.float32)
     per_oct = max(num_keypoints // n_octaves, 16)
     all_xy, all_score, all_desc = [], [], []
+    all_ori, all_scale = [], []
     base = img
     for o in range(n_octaves):
         sigmas = [SIGMA0 * 2.0 ** (s / N_SCALES)
@@ -212,22 +213,28 @@ def extract_sift(image_gray: jnp.ndarray, num_keypoints: int = 1024,
         det = _detect_octave(gs, dogs, per_oct)
         # describe on the octave's mid-blur image
         mid = gs[len(gs) // 2]
-        desc, _ = jax.vmap(
+        desc, ori = jax.vmap(
             lambda p, sg: _orientation_and_desc(mid, p, sg)
         )(det.xy, det.sigma)
         scale_f = float(2 ** o)
         all_xy.append(det.xy * scale_f)
         all_score.append(det.score)
         all_desc.append(desc)
+        all_ori.append(ori)
+        all_scale.append(det.sigma * scale_f)
         if o + 1 < n_octaves:
             base = _downsample2(gs[N_SCALES])
     xy = jnp.concatenate(all_xy)
     score = jnp.concatenate(all_score)
     desc = jnp.concatenate(all_desc)
+    ori = jnp.concatenate(all_ori)
+    scale = jnp.concatenate(all_scale)
     vals, idx = jax.lax.top_k(score, num_keypoints)
     valid = vals > 0
     return Features(
         keypoints=jnp.where(valid[:, None], xy[idx], -1.0),
         scores=jnp.where(valid, vals, 0.0),
         descriptors=jnp.where(valid[:, None], desc[idx], 0.0),
+        scales=jnp.where(valid, scale[idx], 0.0),
+        orientations=jnp.where(valid, ori[idx], 0.0),
     )
