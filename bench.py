@@ -1,39 +1,61 @@
 #!/usr/bin/env python
-"""Headline benchmark: rasterizer fwd+bwd throughput on one chip.
+"""Headline benchmark: pose-refinement fwd+bwd throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Scenario: 640x480 render + full parameter/pose backward over a 100k-Gaussian
-synthetic map — the localization inner loop (SURVEY.md §3.2) which is the
-throughput-critical path of the reference. vs_baseline is measured against
-BASELINE.json's qualitative target (no published reference numbers exist —
-BASELINE.md): we report Mpix/s of fused fwd+bwd steps; vs_baseline compares
-against a 10 Mpix/s provisional bar (typical single-GPU CUDA reference
-throughput for fwd+bwd at this scene scale).
+Scenario: 640x480 render + backward over a 100k-Gaussian synthetic map —
+the localization inner loop (SURVEY.md §3.2, reference
+pipelines/7scenes_localize_full_dslam.py:29-93), the throughput-critical
+path of the reference. Work definition: reference forward.cu:263-379 +
+backward.cu:399-581 per iteration.
+
+Measured configurations (VERDICT r2 #1):
+  - value / "pose_mode": the PRODUCT localization path (pose-mode loop,
+    raster/pose_mode.py — pose-independent params gathered once per rebin
+    window of 10, elementwise per-pair projection per iteration);
+  - "reference_semantics": full rasterize fwd+bwd with tile lists rebuilt
+    EVERY iteration and full parameter+pose gradients (what the reference's
+    CUDA rasterizer does every step);
+  - "standard_rebin10": the standard rasterize path with lists refreshed
+    every 10 steps (the non-pose-mode product configuration);
+  - "blend_roofline_pct": measured blend fwd+bwd time vs the analytic
+    speed-of-light bound of benchmarks/roofline.py (v5e: 197 TFLOP/s bf16
+    MXU => ~65 TFLOP/s f32-via-bf16x3, 4 TFLOP/s VPU, 819 GB/s HBM).
+
+Capacity honesty: the binner's own ``max_tile_count`` at this scene is 640
+(> the former cap of 512 — the r2 bench silently truncated tiles). The cap
+here is 768 with the ``tile_overflow`` flag ASSERTED False, and pair
+capacity 2^20 >= the true 423k pairs with ``overflow`` asserted False.
+
+``vs_baseline``: measured Mpix/s over the analytic speed-of-light Mpix/s
+for the same per-iteration blend work (full-capacity walk; fraction of
+roofline, 1.0 = speed of light). BASELINE.json publishes no reference
+numbers (BASELINE.md), so the bar is the hardware bound, not a guess.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+CAP = 768          # >= max_tile_count=640 at this scene (multiple of 256)
+MAX_PAIRS = 1 << 20  # >= 423593 true pairs
+CHUNK = 256
+W, H = 640, 480
+N_GAUSS = 100_000
+N_LOOP = 25
+REPS = 3
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
 
-    sys.path.insert(0, "tests")
-
-    from gs_localization_tpu.core.camera import Camera
-    from gs_localization_tpu.core.gaussians import GaussianParams
+def _scene():
     from gs_localization_tpu.core import sh as sh_lib
-    from gs_localization_tpu.raster import RasterizerConfig, rasterize
-    from gs_localization_tpu.loc.refine import TrackingConfig, tracking_loss
+    from gs_localization_tpu.core.gaussians import GaussianParams
 
     rng = np.random.default_rng(0)
-    n = 100_000
+    n = N_GAUSS
     xyz = np.stack(
         [rng.uniform(-2.5, 2.5, n), rng.uniform(-2.0, 2.0, n),
          rng.uniform(2.0, 9.0, n)], 1,
@@ -43,56 +65,175 @@ def main() -> None:
         xyz=xyz,
         features_dc=sh_lib.rgb_to_sh_dc(
             rng.uniform(0.05, 0.95, (n, 3))).astype(np.float32)[:, None, :],
-        features_rest=0.05 * rng.standard_normal((n, k - 1, 3)).astype(np.float32),
+        features_rest=0.05 * rng.standard_normal((n, k - 1, 3)).astype(
+            np.float32),
         scaling=rng.uniform(-4.5, -3.0, (n, 3)).astype(np.float32),
         rotation=np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)),
         opacity=rng.uniform(-1.0, 2.5, (n, 1)).astype(np.float32),
         sh_degree=3,
     )
-    W, H = 640, 480
+    return g, rng
+
+
+def _time_loop(fn, settle, reps=REPS, per=1):
+    """Median wall time per unit; ``settle`` forces a host fetch (the
+    tunneled runtime executes lazily; block_until_ready under-reports)."""
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        r = fn()
+        settle(r)
+        times.append((time.time() - t0) / per)
+    return float(np.median(times))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compilation cache: the tunneled remote compiler takes
+    # minutes per binning graph; warm runs skip it entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_bench"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, "tests")
+
+    from gs_localization_tpu.core.camera import Camera
+    from gs_localization_tpu.loc.refine import TrackingConfig, refine_pose
+    from gs_localization_tpu.raster import RasterizerConfig, rasterize
+    from gs_localization_tpu.raster.rasterize import compute_bins
+
+    g, rng = _scene()
     cam = Camera.from_rt(np.eye(3), np.zeros(3), 520.0, 520.0, W, H)
     on_tpu = jax.default_backend() == "tpu"
-    # max_per_tile=512 fits this scene (overflow flag stays False) and
-    # halves gather+DMA volume vs 1024 — measured 1.6x on v5e.
     cfg = RasterizerConfig(
-        max_pairs=1 << 21, max_per_tile=512, fast_k=0,
-        backend="pallas" if on_tpu else "jnp",
-        pallas_chunk=256,
+        max_pairs=MAX_PAIRS, max_per_tile=CAP, fast_k=0,
+        backend="pallas" if on_tpu else "jnp", pallas_chunk=CHUNK,
     )
-    # the product workload: the full jitted pose-refinement loop (render +
-    # tracking loss + backward + Adam + SE(3) retraction per iteration, tile
-    # lists refreshed every 10 steps). Timing chains a data dependency and
-    # forces a host fetch — the tunneled runtime executes lazily and
-    # block_until_ready alone under-reports.
-    from gs_localization_tpu.loc.refine import refine_pose
-
-    n_loop = 25
-    tcfg = TrackingConfig(num_iters=n_loop, lr=1e-3, convergence=0.0,
-                          rebin_every=10)
     gt_img = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
     gt_dep = jnp.asarray(rng.uniform(1, 8, (H, W)), jnp.float32)
     mask = jnp.ones((H, W), bool)
+    mpix = W * H / 1e6
 
-    run = jax.jit(lambda cam_: refine_pose(
-        g, cam_, gt_img, mask, tcfg, cfg, gt_depth=gt_dep))
+    # ---- capacity audit: the measured configuration must not truncate ----
+    bins = jax.jit(lambda: compute_bins(g, cam, cfg))()
+    tile_ovf = bool(bins.tile_overflow)
+    pair_ovf = bool(bins.overflow)
+    mtc = int(bins.max_tile_count)
+    assert not tile_ovf, (
+        f"tile_overflow at cap={CAP} (max_tile_count={mtc}) — the bench "
+        "would measure a truncated render; raise CAP")
+    assert not pair_ovf, f"pair overflow at max_pairs={MAX_PAIRS}"
 
-    res = run(cam)
-    _ = float(res.w2c[0, 0])       # compile + settle
-    reps = 3
-    t0 = time.time()
-    c = cam
-    for _ in range(reps):
-        res = run(c)
-        c = c.replace(w2c=res.w2c)  # chain
-    _ = float(res.w2c[0, 0])
-    dt = (time.time() - t0) / (reps * n_loop)
-    mpix_s = W * H / dt / 1e6
-    baseline_mpix_s = 10.0
+    def run_refine(tcfg):
+        fn = jax.jit(lambda cam_: refine_pose(
+            g, cam_, gt_img, mask, tcfg, cfg, gt_depth=gt_dep))
+        res = fn(cam)
+        _ = float(res.w2c[0, 0])     # compile + settle
+        state = {"cam": cam}
+
+        def step():
+            r = fn(state["cam"])
+            state["cam"] = state["cam"].replace(w2c=r.w2c)   # chain
+            return r
+
+        dt = _time_loop(step, lambda r: float(r.w2c[0, 0]), per=N_LOOP)
+        return mpix / dt
+
+    # ---- headline: pose-mode localization loop (the product default) -----
+    pm_mpix = run_refine(TrackingConfig(
+        num_iters=N_LOOP, lr=1e-3, convergence=0.0, rebin_every=10,
+        pose_mode=True))
+
+    # ---- standard path, lists refreshed every 10 steps -------------------
+    std_mpix = run_refine(TrackingConfig(
+        num_iters=N_LOOP, lr=1e-3, convergence=0.0, rebin_every=10))
+
+    # ---- reference semantics: full fwd+bwd, rebin every iteration --------
+    def ref_loss(gg, tau):
+        out = rasterize(gg, cam.with_delta(tau), cfg)
+        return jnp.abs(out.color - gt_img).mean() \
+            + 0.01 * jnp.abs(out.depth - gt_dep).mean()
+
+    ref_grad = jax.jit(jax.grad(ref_loss, argnums=(0, 1)))
+    gr, gtau = ref_grad(g, jnp.zeros(6))
+    _ = float(gtau[0])
+
+    def ref_step():
+        gr, gtau = ref_grad(g, jnp.zeros(6))
+        return gtau
+
+    ref_dt = _time_loop(ref_step, lambda r: float(r[0]))
+    ref_mpix = mpix / ref_dt
+
+    # ---- blend kernel roofline % (benchmarks/roofline.py math, inlined) --
+    from gs_localization_tpu.raster import pallas_blend
+
+    ts = 16
+    gx = -(-W // ts)
+    npix = ts * ts
+    T = gx * (-(-H // ts))
+    # assemble one pregathered window set via the legacy binning
+    from gs_localization_tpu.raster import binning as B
+    from gs_localization_tpu.raster.preprocess import preprocess
+
+    prep = jax.jit(lambda: preprocess(g, cam, tile_size=ts))()
+    lbins = jax.jit(lambda: B.bin_gaussians(
+        prep, gx, -(-H // ts), MAX_PAIRS, CAP, fast_k=0))()
+    pack = jnp.stack(
+        [prep.means2d[:, 0], prep.means2d[:, 1],
+         prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+         prep.opacity, prep.valid.astype(jnp.float32),
+         jnp.zeros_like(prep.opacity),
+         prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2], prep.depths],
+        axis=1)
+    win = jnp.swapaxes(pack[lbins.tile_gid], 1, 2)       # (T, 12, cap)
+    geom0, rgbd0 = win[:, :8], win[:, 8:]
+    counts = lbins.tile_counts
+
+    def blend_fb(x):
+        def loss(geom):
+            out = pallas_blend.blend_pregathered_pallas(
+                counts, geom, rgbd0, gx, ts, chunk=CHUNK)
+            return jnp.sum(out.color) + jnp.sum(out.log_t)
+        return jax.grad(loss)(geom0 + x)
+
+    jf = jax.jit(blend_fb)
+    r = jf(jnp.float32(0.0))
+    _ = float(r[0, 0, 0])
+    bf_dt = _time_loop(lambda: jf(jnp.float32(0.0)),
+                       lambda r: float(r[0, 0, 0]))
+
+    # analytic speed-of-light for the full-capacity fwd+bwd walk
+    PEAK_MXU_F32, PEAK_VPU, PEAK_HBM = 65e12, 4e12, 819e9
+    n_chunks = CAP // CHUNK
+    mxu = T * n_chunks * (3 * 2 * npix * CHUNK * CHUNK
+                          + 3 * 2 * 4 * npix * CHUNK)
+    vpu = T * n_chunks * (85 * npix * CHUNK)
+    byts = T * 12 * CAP * 4 * 3 + T * npix * 7 * 4 * 2
+    sol_fb_s = max(mxu / PEAK_MXU_F32, vpu / PEAK_VPU, byts / PEAK_HBM)
+    roofline_pct = 100.0 * sol_fb_s / max(bf_dt, 1e-9)
+    sol_mpix = mpix / sol_fb_s
+
     print(json.dumps({
         "metric": "pose_refine_fwd_bwd_throughput_640x480_100k",
-        "value": round(mpix_s, 3),
+        "value": round(pm_mpix, 3),
         "unit": "Mpix/s/chip",
-        "vs_baseline": round(mpix_s / baseline_mpix_s, 3),
+        "vs_baseline": round(pm_mpix / sol_mpix, 3),
+        "pose_mode_mpix_s": round(pm_mpix, 3),
+        "standard_rebin10_mpix_s": round(std_mpix, 3),
+        "reference_semantics_mpix_s": round(ref_mpix, 3),
+        "blend_fwd_bwd_roofline_pct": round(roofline_pct, 1),
+        "speed_of_light_mpix_s": round(sol_mpix, 3),
+        "tile_overflow": tile_ovf,
+        "pair_overflow": pair_ovf,
+        "max_tile_count": mtc,
+        "max_per_tile": CAP,
     }))
 
 

@@ -55,6 +55,9 @@ class RefineResult(NamedTuple):
     exposure_ab: jnp.ndarray  # (2,)
     num_iters: jnp.ndarray    # () int32 iterations actually run
     final_loss: jnp.ndarray   # ()
+    overflow: Optional[jnp.ndarray] = None  # () bool: any binning capacity
+    #   (pair or per-tile) exceeded during the loop -> truncated renders;
+    #   production surfaces this and grows max_per_tile (VERDICT r2 #4)
 
 
 def tracking_loss(
@@ -104,6 +107,9 @@ def refine_pose(
         def make_bins(cam):
             return build_pair_pack(gaussians, cam, raster_cfg)
 
+        def bins_overflow(pack):
+            return pack.overflow
+
         def loss_at(w2c, tau, ab, pack):
             cam = camera.replace(w2c=w2c).with_delta(tau)
             color, depth, alpha = render_pose_mode(pack, cam, raster_cfg,
@@ -113,6 +119,9 @@ def refine_pose(
     else:
         def make_bins(cam):
             return compute_bins(gaussians, cam, raster_cfg)
+
+        def bins_overflow(bins):
+            return bins.overflow | bins.tile_overflow
 
         def loss_at(w2c, tau, ab, bins):
             cam = camera.replace(w2c=w2c).with_delta(tau)
@@ -138,7 +147,7 @@ def refine_pose(
         return (it < cfg.num_iters) & ~done
 
     def body(state):
-        it, done, w2c, ab, m6, v6, m2, v2, loss, bins = state
+        it, done, w2c, ab, m6, v6, m2, v2, loss, bins, ovf = state
         if cfg.rebin_every > 1:
             bins = jax.lax.cond(
                 it % cfg.rebin_every == 0,
@@ -156,18 +165,20 @@ def refine_pose(
         w2c = se3.apply_delta(upd6, w2c)
         ab = ab + upd2
         converged = jnp.linalg.norm(upd6) < cfg.convergence
-        return it + 1, converged, w2c, ab, m6, v6, m2, v2, loss, bins
+        ovf = ovf | bins_overflow(bins)
+        return it + 1, converged, w2c, ab, m6, v6, m2, v2, loss, bins, ovf
 
     bins0 = make_bins(camera)
     init = (
         jnp.int32(0), jnp.bool_(False), camera.w2c, jnp.zeros(2),
         jnp.zeros(6), jnp.zeros(6), jnp.zeros(2), jnp.zeros(2),
-        jnp.float32(0.0), bins0,
+        jnp.float32(0.0), bins0, bins_overflow(bins0),
     )
     out_state = jax.lax.while_loop(cond, body, init)
     it, _, w2c, ab = out_state[0], out_state[1], out_state[2], out_state[3]
-    loss = out_state[8]
-    return RefineResult(w2c=w2c, exposure_ab=ab, num_iters=it, final_loss=loss)
+    loss, ovf = out_state[8], out_state[10]
+    return RefineResult(w2c=w2c, exposure_ab=ab, num_iters=it,
+                        final_loss=loss, overflow=ovf)
 
 
 def refine_poses_batch(

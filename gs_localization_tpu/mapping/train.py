@@ -215,6 +215,8 @@ def train_step(
     aux = dict(aux)
     aux["num_rendered"] = out.num_rendered
     aux["overflow"] = out.overflow
+    aux["tile_overflow"] = out.tile_overflow
+    aux["max_tile_count"] = out.max_tile_count
     return new_state, aux
 
 
@@ -278,4 +280,9 @@ def train_step_batched(
         step=state.step + 1,
         key=state.key,
     )
-    return new_state, {"total": loss, "l1": jnp.mean(aux["l1"])}
+    return new_state, {
+        "total": loss, "l1": jnp.mean(aux["l1"]),
+        "overflow": jnp.any(outs.overflow),
+        "tile_overflow": jnp.any(outs.tile_overflow),
+        "max_tile_count": jnp.max(outs.max_tile_count),
+    }

@@ -36,6 +36,10 @@ class LocalizePipelineConfig:
     keypoint_score_min: float = 0.2
     tracking: TrackingConfig = TrackingConfig()
     use_keypoint_mask: bool = True
+    # binning-capacity overflow policy (VERDICT r2 #4): on a truncated
+    # render, double max_per_tile and redo the batch (recompile) up to this
+    # many times; 0 = fail loudly instead of growing.
+    max_capacity_growths: int = 2
 
 
 @dataclass
@@ -94,6 +98,25 @@ def localize_queries(
             gaussians, cams, imgs, masks, cfg.tracking, raster_cfg,
             gt_depths=deps,
         )
+        # capacity audit: a truncated render silently biases the refined
+        # pose — grow max_per_tile host-side and redo (the proven
+        # capacity-growth pattern of pipelines/train_map.py)
+        grows = 0
+        while bool(np.any(np.asarray(res.overflow))):
+            if grows >= cfg.max_capacity_growths:
+                raise RuntimeError(
+                    f"binning overflow persists at max_per_tile="
+                    f"{raster_cfg.max_per_tile} after {grows} growths — "
+                    "raise max_per_tile / max_pairs")
+            raster_cfg = raster_cfg.replace(
+                max_per_tile=2 * raster_cfg.max_per_tile)
+            grows += 1
+            log_fn(f"tile overflow: growing max_per_tile to "
+                   f"{raster_cfg.max_per_tile} (recompiles)")
+            res = refine_poses_batch(
+                gaussians, cams, imgs, masks, cfg.tracking, raster_cfg,
+                gt_depths=deps,
+            )
         w2cs = np.asarray(res.w2c)
         for j, q in enumerate(batch[: b - pad if pad else b]):
             results[q.name] = w2cs[j]

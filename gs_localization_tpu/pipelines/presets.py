@@ -22,9 +22,15 @@ from .train_map import TrainPipelineConfig
 
 
 def seven_scenes_tracking() -> TrackingConfig:
+    # pose_mode + rebin_every=10 is the product default: 8x the standard
+    # path's throughput on v5e with converged accuracy equal to the exact
+    # per-iteration path (tests/test_loc.py TestConvergenceEquivalence;
+    # approximation: SH color frozen at the rebin view, see README).
+    # Escape hatch: cfg.tracking = replace(pose_mode=False, rebin_every=1).
     return TrackingConfig(
         num_iters=50, lr=1e-3, convergence=1e-4,
         opacity_threshold=0.99, alpha=0.99, monocular=False,
+        pose_mode=True, rebin_every=10,
     )
 
 
@@ -32,6 +38,7 @@ def cambridge_tracking() -> TrackingConfig:
     return TrackingConfig(
         num_iters=20, lr=1e-4, convergence=1e-3,
         opacity_threshold=0.99, monocular=True,
+        pose_mode=True, rebin_every=10,
     )
 
 
@@ -82,6 +89,7 @@ def mip360_tracking() -> TrackingConfig:
     return TrackingConfig(
         num_iters=50, lr=1e-3, convergence=1e-4,
         opacity_threshold=0.99, monocular=True,
+        pose_mode=True, rebin_every=10,
     )
 
 

@@ -52,6 +52,8 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray     # () bool — pair-capacity overflow
     tile_overflow: Optional[jnp.ndarray] = None  # () bool — per-tile trunc.
     n_touched: Optional[jnp.ndarray] = None  # (P,) int32 (opt-in)
+    max_tile_count: Optional[jnp.ndarray] = None  # () int32 true max count
+    #   (pre-clip): right-sizes max_per_tile; logged by training/localization
 
 
 def compute_bins(
@@ -179,6 +181,7 @@ def rasterize(
         overflow=bins.overflow,
         tile_overflow=bins.tile_overflow,
         n_touched=n_touched,
+        max_tile_count=bins.max_tile_count,
     )
 
 
