@@ -40,12 +40,48 @@ GATES = {
 }
 
 
+def textured_surface(rng, gx=128, gy=96, z=4.0, spread=2.2, colnoise=0.35):
+    """Gaussians on a bumpy plane with patchy colors — a textured wall.
+
+    Floating random splats render as sub-pixel dots that defeat corner
+    detection; a surface with low-frequency color structure + per-splat
+    noise gives the SfM front end stable, distinctive corners (match
+    precision ~87% measured at 320x240 against depth-reprojected GT).
+    """
+    from gs_localization_tpu.core import sh as sh_lib
+    from gs_localization_tpu.core.gaussians import GaussianParams
+
+    xs = np.linspace(-spread, spread, gx)
+    ys = np.linspace(-spread * 0.75, spread * 0.75, gy)
+    X, Y = np.meshgrid(xs, ys)
+    Z = z + 0.3 * np.sin(X * 2.1) * np.cos(Y * 1.7) \
+        + 0.05 * rng.standard_normal(X.shape)
+    xyz = np.stack([X.ravel(), Y.ravel(), Z.ravel()], 1).astype(np.float32)
+    n = len(xyz)
+    base = 0.5 + 0.45 * np.sin(X * 3.3 + 1) * np.cos(Y * 2.9)
+    col = np.stack(
+        [base.ravel(),
+         (0.5 + 0.45 * np.cos(X * 2.2) * np.sin(Y * 3.7)).ravel(),
+         rng.uniform(0.1, 0.9, n)], 1)
+    col = np.clip(col + colnoise * rng.standard_normal((n, 3)), 0.02, 0.98)
+    k = sh_lib.num_sh_coeffs(1)
+    step = 2 * spread / gx
+    return GaussianParams.from_arrays(
+        xyz=xyz,
+        features_dc=sh_lib.rgb_to_sh_dc(col).astype(np.float32)[:, None, :],
+        features_rest=np.zeros((n, k - 1, 3), np.float32),
+        scaling=np.full((n, 3), np.log(step * 0.9), np.float32),
+        rotation=np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)),
+        opacity=np.full((n, 1), 3.0, np.float32),
+        sh_degree=1)
+
+
 def build_layout(root, W, H, n_world, n_train, n_test, seed=3):
     """Textured world -> 7-Scenes raw layout + gt model. Returns world."""
     import jax.numpy as jnp
     from PIL import Image
 
-    from helpers import make_camera, random_scene
+    from helpers import make_camera
     from gs_localization_tpu.core.camera import rotmat_to_quat
     from gs_localization_tpu.data.colmap import (
         ColmapCamera, ColmapImage, write_colmap_model_text)
@@ -53,19 +89,17 @@ def build_layout(root, W, H, n_world, n_train, n_test, seed=3):
     from gs_localization_tpu.raster import RasterizerConfig, rasterize
 
     rng = np.random.default_rng(seed)
-    # textured world: sharp, opaque Gaussians with strong SH variation so
-    # the SfM front end finds distinctive corners
-    world = random_scene(rng, n=n_world, sh_degree=2, spread=1.8,
-                         z_range=(2.8, 6.5), scale_range=(-4.4, -3.2))
-    cfg = RasterizerConfig(max_pairs=1 << 18, max_per_tile=512, chunk=64)
+    gx = int(np.sqrt(n_world * 4 / 3))
+    world = textured_surface(rng, gx=gx, gy=gx * 3 // 4)
+    cfg = RasterizerConfig(max_pairs=1 << 19, max_per_tile=768, chunk=64)
 
     os.makedirs(os.path.join(root, "seq-01"), exist_ok=True)
     os.makedirs(os.path.join(root, "seq-02"), exist_ok=True)
     cams, names = [], []
     for i in range(n_train + n_test):
         tau = np.zeros(6, np.float32)
-        tau[:3] = 0.10 * rng.standard_normal(3)      # rotations ~6 deg
-        tau[3:] = 0.25 * rng.standard_normal(3)      # translations ~0.25 m
+        tau[:3] = 0.05 * rng.standard_normal(3)      # rotations ~3 deg
+        tau[3:] = 0.12 * rng.standard_normal(3)      # translations ~0.12 m
         cam = make_camera(W, H, fov=1.0).with_delta(jnp.asarray(tau))
         seq = "seq-01" if i < n_train else "seq-02"
         fname = f"frame-{i:06d}.color.png"
@@ -133,9 +167,9 @@ def init_pose_errors(root, out):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, nargs=2, default=(160, 120))
+    ap.add_argument("--size", type=int, nargs=2, default=(320, 240))
     ap.add_argument("--iters", type=int, default=1200)
-    ap.add_argument("--world", type=int, default=2500)
+    ap.add_argument("--world", type=int, default=12288)
     ap.add_argument("--train", type=int, default=24)
     ap.add_argument("--test", type=int, default=8)
     ap.add_argument("--report", default="RESULTS.md")
@@ -160,7 +194,7 @@ def main(argv=None):
         run_scene.main([
             "--scene", root, "--preset", "seven_scenes", "--stage", "all",
             "--iterations", str(args.iters),
-            "--max-pairs", str(1 << 18), "--max-per-tile", "512",
+            "--max-pairs", str(1 << 19), "--max-per-tile", "768",
             "--use-depth", "--out", out,
         ])
         metrics = json.load(open(os.path.join(out, "metrics.json")))

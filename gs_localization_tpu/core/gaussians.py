@@ -187,6 +187,11 @@ class GaussianParams:
         from ..ops.knn import mean_knn_sq_dist  # local import: avoids cycle
 
         p = points.shape[0]
+        if p == 0:
+            raise ValueError(
+                "cannot initialize a Gaussian map from 0 points — the SfM "
+                "stage produced an empty cloud (check feature extraction / "
+                "triangulation upstream)")
         k = sh_lib.num_sh_coeffs(sh_degree)
         if mean_sq_dist is None:
             mean_sq_dist = mean_knn_sq_dist(jnp.asarray(points, jnp.float32), k=3)

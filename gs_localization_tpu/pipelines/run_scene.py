@@ -83,6 +83,13 @@ def stage_sfm(args) -> None:
 
     scene = _load_scene(args)
     cfg = SfmInitConfig()
+    extractor = None
+    if args.extractor == "sift":
+        from ..sfm.sift import extract_sift
+        from ..sfm.features import rgb_to_gray
+
+        extractor = lambda img: extract_sift(   # noqa: E731
+            rgb_to_gray(jnp.asarray(img)), num_keypoints=cfg.num_keypoints)
     imgs = [load_image(c.image_path) for c in scene.train_cameras]
     deps = None
     if args.use_depth:
@@ -91,7 +98,7 @@ def stage_sfm(args) -> None:
                 np.zeros(imgs[i].shape[:2], np.float32)
                 for i, c in enumerate(scene.train_cameras)]
     mapped = build_point_model(imgs, [c.camera for c in scene.train_cameras],
-                               cfg, depth_maps=deps)
+                               cfg, depth_maps=deps, extractor=extractor)
     poses = {}
     for q in scene.test_cameras:
         qimg = load_image(q.image_path)
@@ -99,7 +106,8 @@ def stage_sfm(args) -> None:
         K = np.array([[float(cam.fx), 0, float(cam.cx)],
                       [0, float(cam.fy), float(cam.cy)], [0, 0, 1.0]])
         qvec, tvec, info = localize_query_pnp(
-            qimg, K, mapped, [c.camera for c in scene.train_cameras], cfg)
+            qimg, K, mapped, [c.camera for c in scene.train_cameras], cfg,
+            extractor=extractor)
         poses[q.name] = (qvec, tvec)
         print(f"{q.name}: {info['method']} ({info.get('num_inliers', 0)} inl)")
     out = os.path.join(args.out, "results_dense.txt")
@@ -222,6 +230,9 @@ def main(argv=None) -> None:
                          "the monocular presets (cambridge/llff/mip360)")
     ap.add_argument("--max-pairs", type=int, default=1 << 21)
     ap.add_argument("--max-per-tile", type=int, default=1024)
+    ap.add_argument("--extractor", default="harris",
+                    choices=("harris", "sift"),
+                    help="SfM front-end features (sift = DoG+rootSIFT)")
     args = ap.parse_args(argv)
     if args.out is None:
         args.out = os.path.join(args.scene, "output_tpu")
