@@ -31,7 +31,8 @@ from ..sfm.pairs import pairs_sequential
 from ..sfm.pnp import pnp_ransac
 from ..sfm.retrieval import top_k_retrieval
 from ..sfm.triangulate import (
-    Tracks, build_tracks, correct_points_with_depth, triangulate_tracks,
+    Tracks, build_tracks, correct_points_with_depth,
+    epipolar_filter_matches, triangulate_tracks,
 )
 
 
@@ -42,6 +43,7 @@ class SfmInitConfig:
     retrieval_k: int = 10
     ratio_thresh: float = 0.95
     max_reproj_px: float = 4.0
+    max_epipolar_px: float = 4.0    # pre-track geometric verification
     pnp_max_error_px: float = 12.0  # reference RANSAC default
     min_pnp_inliers: int = 12
     depth_correct: bool = True
@@ -155,9 +157,22 @@ def build_point_model(
 
     kps = [np.asarray(f.keypoints) for f in feats]
     counts = [k.shape[0] for k in kps]
-    tracks = build_tracks(n, counts, pair_matches)
     w2c = np.stack([np.asarray(c.w2c) for c in cameras])
     Ks = np.stack([_K_of(c) for c in cameras])
+    # geometric verification against the known poses BEFORE track building
+    # (reference hloc/triangulation.py:128-190): outlier matches otherwise
+    # transitively merge keypoints into giant union-find tracks
+    n_before = sum(len(m) for m in pair_matches.values())
+    pair_matches = {
+        (a, b): epipolar_filter_matches(
+            m, kps[a], kps[b], w2c[a], w2c[b], Ks[a], Ks[b],
+            max_epip_px=cfg.max_epipolar_px)
+        for (a, b), m in pair_matches.items()
+    }
+    pair_matches = {k: m for k, m in pair_matches.items() if len(m) >= 8}
+    n_after = sum(len(m) for m in pair_matches.values())
+    log_fn(f"geometric verification kept {n_after}/{n_before} matches")
+    tracks = build_tracks(n, counts, pair_matches)
     xyz, valid = triangulate_tracks(
         tracks, kps, w2c, Ks, max_reproj_px=cfg.max_reproj_px)
     log_fn(f"triangulated {int(valid.sum())}/{tracks.num_tracks} tracks")

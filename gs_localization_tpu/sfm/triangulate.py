@@ -6,6 +6,11 @@ features into an SfM model whose camera poses are KNOWN a priori, which is
 exactly the 7-Scenes/Cambridge setting) plus the pipeline's RGB-D snap of
 triangulated points (sfm/7scenes_sfm_full_dslam.py:28-155):
 
+- ``epipolar_filter_matches``: geometric verification of pair matches
+  against the known poses (symmetric epipolar distance) — the reference's
+  ``geometric_verification`` (hloc/triangulation.py:128-190). Without it,
+  outlier matches transitively merge keypoints into giant tracks
+  (union-find collapse) and triangulation starves.
 - ``build_tracks``     : union-find over pairwise matches (host numpy).
 - ``triangulate_tracks``: batched DLT (SVD of the stacked incidence rows)
   with reprojection-error and triangulation-angle filters.
@@ -27,6 +32,39 @@ class Tracks(NamedTuple):
     image_idx: np.ndarray      # (E,)
     kp_idx: np.ndarray         # (E,)
     num_tracks: int
+
+
+def epipolar_filter_matches(
+    matches: np.ndarray,        # (M, 2) keypoint index pairs (img a, img b)
+    kps_a: np.ndarray,          # (Ka, 2) pixels
+    kps_b: np.ndarray,
+    w2c_a: np.ndarray,          # (4, 4)
+    w2c_b: np.ndarray,
+    K_a: np.ndarray,            # (3, 3)
+    K_b: np.ndarray,
+    max_epip_px: float = 4.0,
+) -> np.ndarray:
+    """Keep matches whose symmetric epipolar distance under the KNOWN
+    relative pose is below ``max_epip_px`` (reference geometric
+    verification, hloc/triangulation.py:128-190)."""
+    if len(matches) == 0:
+        return matches
+    T_ba = w2c_b @ np.linalg.inv(w2c_a)
+    R, t = T_ba[:3, :3], T_ba[:3, 3]
+    E = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                  [-t[1], t[0], 0]]) @ R
+    F = np.linalg.inv(K_b).T @ E @ np.linalg.inv(K_a)
+    pa = np.concatenate([kps_a[matches[:, 0]],
+                         np.ones((len(matches), 1))], 1)   # (M, 3)
+    pb = np.concatenate([kps_b[matches[:, 1]],
+                         np.ones((len(matches), 1))], 1)
+    Fa = pa @ F.T                                          # lines in b
+    Fb = pb @ F                                            # lines in a
+    num = np.abs(np.sum(pb * Fa, axis=1))
+    d_b = num / np.maximum(np.hypot(Fa[:, 0], Fa[:, 1]), 1e-12)
+    d_a = num / np.maximum(np.hypot(Fb[:, 0], Fb[:, 1]), 1e-12)
+    keep = np.maximum(d_a, d_b) < max_epip_px
+    return matches[keep]
 
 
 def build_tracks(
@@ -66,7 +104,19 @@ def build_tracks(
     uniq, tids = np.unique(roots[obs_idx], return_inverse=True)
     img_idx = np.searchsorted(offsets, obs_idx, side="right") - 1
     kp_idx = obs_idx - offsets[img_idx]
-    return Tracks(tids, img_idx, kp_idx, len(uniq))
+    # drop ambiguous observations: a track seeing >1 keypoint of the same
+    # image is an outlier merge (COLMAP's track-merge conflict rule)
+    pair_key = tids.astype(np.int64) * num_images + img_idx
+    _, inv, cnt = np.unique(pair_key, return_inverse=True,
+                            return_counts=True)
+    ok = cnt[inv] == 1
+    tids, img_idx, kp_idx = tids[ok], img_idx[ok], kp_idx[ok]
+    if len(tids):
+        uniq2, tids = np.unique(tids, return_inverse=True)
+        n_tracks = len(uniq2)
+    else:
+        n_tracks = 0
+    return Tracks(tids, img_idx, kp_idx, n_tracks)
 
 
 # --------------------------------------------------------- triangulation ----
