@@ -221,3 +221,78 @@ class TestRegistry:
         f = get_extractor("r2d2", params=r2.init_params(rng),
                           num_keypoints=32)(img)
         assert f.descriptors.shape == (32, 128)
+
+
+class TestEpipolarFilter:
+    """Geometric verification vs known poses (reference
+    hloc/triangulation.py:128-190 role): true correspondences survive,
+    random outliers die, and track building stops collapsing."""
+
+    def _two_views(self, rng, n=60):
+        X = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                      rng.uniform(4, 6, n)], 1)
+        K = np.array([[400.0, 0, 64], [0, 400, 48], [0, 0, 1]])
+        R1 = Rotation.from_rotvec([0.03, 0.12, 0.0]).as_matrix()
+        t1 = np.array([0.4, -0.1, 0.05])
+        w2c0 = np.eye(4)
+        w2c1 = np.eye(4)
+        w2c1[:3, :3], w2c1[:3, 3] = R1, t1
+        kp0 = _project(X, np.eye(3), np.zeros(3), K) \
+            + 0.2 * rng.standard_normal((n, 2))
+        kp1 = _project(X, R1, t1, K) + 0.2 * rng.standard_normal((n, 2))
+        return X, K, w2c0, w2c1, kp0, kp1
+
+    def test_inliers_survive_outliers_die(self, rng):
+        from gs_localization_tpu.sfm.triangulate import (
+            epipolar_filter_matches)
+
+        n = 60
+        X, K, w2c0, w2c1, kp0, kp1 = self._two_views(rng, n)
+        good = np.stack([np.arange(n)] * 2, 1)
+        perm = rng.permutation(n)
+        bad = np.stack([np.arange(n), perm], 1)
+        bad = bad[perm != np.arange(n)][:30]
+        matches = np.concatenate([good, bad])
+        kept = epipolar_filter_matches(matches, kp0, kp1, w2c0, w2c1, K, K,
+                                       max_epip_px=3.0)
+        kept_set = {tuple(m) for m in kept}
+        n_good = sum(tuple(m) in kept_set for m in good)
+        n_bad = sum(tuple(m) in kept_set for m in bad)
+        assert n_good >= n - 2, n_good
+        assert n_bad <= 3, n_bad
+
+    def test_track_collapse_prevented(self, rng):
+        """25% wrong matches across 4 views used to union-find everything
+        into a handful of giant tracks; with verification + the conflict
+        rule, per-point tracks survive."""
+        n_pts, n_views = 40, 4
+        X = np.stack([rng.uniform(-1, 1, n_pts), rng.uniform(-1, 1, n_pts),
+                      rng.uniform(4, 6, n_pts)], 1)
+        K = np.array([[400.0, 0, 64], [0, 400, 48], [0, 0, 1]])
+        w2cs, kps = [], []
+        for v in range(n_views):
+            R = Rotation.from_rotvec([0, 0.12 * (v - 1.5), 0]).as_matrix()
+            t = np.array([0.3 * (v - 1.5), 0, 0.05 * v])
+            w2c = np.eye(4)
+            w2c[:3, :3], w2c[:3, 3] = R, t
+            w2cs.append(w2c)
+            kps.append(_project(X, R, t, K)
+                       + 0.2 * rng.standard_normal((n_pts, 2)))
+        from gs_localization_tpu.sfm.triangulate import (
+            epipolar_filter_matches)
+
+        pair_matches = {}
+        for v in range(n_views - 1):
+            good = np.stack([np.arange(n_pts)] * 2, 1)
+            wrong = np.stack([rng.permutation(n_pts)[:10],
+                              rng.permutation(n_pts)[:10]], 1)
+            m = np.concatenate([good, wrong])
+            pair_matches[(v, v + 1)] = epipolar_filter_matches(
+                m, kps[v], kps[v + 1], w2cs[v], w2cs[v + 1], K, K,
+                max_epip_px=3.0)
+        tracks = build_tracks(n_views, [n_pts] * n_views, pair_matches)
+        # near-full per-point track count (no giant merged components)
+        assert tracks.num_tracks >= n_pts - 6, tracks.num_tracks
+        xyz, valid = triangulate_tracks(
+            tracks, kps, np.stack(w2cs), np.tile(K[None], (n_views, 1, 1)))
+        assert valid.sum() >= n_pts - 10
