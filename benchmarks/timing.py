@@ -8,11 +8,26 @@ a host fetch costs a ~25 ms round trip. Measuring anything shorter than
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def enable_persistent_cache() -> None:
+    """Warm re-runs skip the minutes-per-graph tunneled compiler."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_bench"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+enable_persistent_cache()
 
 
 def fetch(out):

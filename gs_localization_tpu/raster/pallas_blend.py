@@ -49,15 +49,15 @@ def _pixel_coords(tile_id, grid_x: int, ts: int, npix: int):
     return px, py
 
 
-def _chunk_alpha(geom_ref, sl, px, py, count, k, chunk: int):
+def _chunk_alpha(geom_ref, i, sl, px, py, count, k, chunk: int):
     """Gated alpha for one chunk: (npix, G) plus raw/clamp gate info."""
-    x = geom_ref[0, _GX : _GX + 1, sl]          # (1, G)
-    y = geom_ref[0, _GY : _GY + 1, sl]
-    ca = geom_ref[0, _GA : _GA + 1, sl]
-    cb = geom_ref[0, _GB : _GB + 1, sl]
-    cc = geom_ref[0, _GC : _GC + 1, sl]
-    opa = geom_ref[0, _GOPA : _GOPA + 1, sl]
-    vld = geom_ref[0, _GVALID : _GVALID + 1, sl]
+    x = geom_ref[i, _GX : _GX + 1, sl]          # (1, G)
+    y = geom_ref[i, _GY : _GY + 1, sl]
+    ca = geom_ref[i, _GA : _GA + 1, sl]
+    cb = geom_ref[i, _GB : _GB + 1, sl]
+    cc = geom_ref[i, _GC : _GC + 1, sl]
+    opa = geom_ref[i, _GOPA : _GOPA + 1, sl]
+    vld = geom_ref[i, _GVALID : _GVALID + 1, sl]
 
     dx = x - px                                  # (npix, G)
     dy = y - py
@@ -78,161 +78,183 @@ def _chunk_alpha(geom_ref, sl, px, py, count, k, chunk: int):
 
 def _fwd_kernel(counts_ref, geom_ref, rgbd_ref, accum_ref, logt_ref,
                 resid_ref,
-                *, grid_x: int, ts: int, cap: int, chunk: int):
-    t = pl.program_id(0)
+                *, grid_x: int, ts: int, cap: int, chunk: int, tpb: int):
     npix = ts * ts
-    count = counts_ref[t]
-    n_chunks = pl.cdiv(count, chunk)
-    px, py = _pixel_coords(t, grid_x, ts, npix)
 
     # inclusive-prefix matrix: tri[r, c] = 1 iff r <= c
     r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     tri = (r_i <= c_i).astype(jnp.float32)
 
-    def cond(state):
-        k, log_full, _, _ = state
-        return (k < n_chunks) & (jnp.max(log_full) >= LOG_T_EPS)
+    # tpb tiles per grid step: a 1200-step grid of (1, 12, cap) blocks pays
+    # ~1200x the fixed per-step pipeline cost and DMAs tiny blocks; grouping
+    # amortizes both (measured ~1.9x fwd on v5e at tpb=8).
+    for i in range(tpb):
+        t = pl.program_id(0) * tpb + i
+        count = counts_ref[t]
+        n_chunks = pl.cdiv(count, chunk)
+        px, py = _pixel_coords(t, grid_x, ts, npix)
 
-    def body(state):
-        k, log_full, log_app, acc = state
-        sl = pl.ds(k * chunk, chunk)
-        alpha, _, _, _, _, _ = _chunk_alpha(geom_ref, sl, px, py, count, k, chunk)
-        la = jnp.log(1.0 - alpha)
-        clog = log_full + jnp.dot(la, tri, preferred_element_type=jnp.float32)
-        applied = clog >= LOG_T_EPS
-        w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)  # (npix, G)
-        rgbd = rgbd_ref[0, :, sl]                                # (4, G)
-        acc = acc + jax.lax.dot_general(
-            rgbd, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                        # (4, npix)
-        log_full = log_full + jnp.sum(la, axis=1, keepdims=True)
-        log_app = log_app + jnp.sum(
-            jnp.where(applied, la, 0.0), axis=1, keepdims=True
+        def cond(state):
+            k, log_full, _, _ = state
+            return (k < n_chunks) & (jnp.max(log_full) >= LOG_T_EPS)
+
+        def body(state):
+            k, log_full, log_app, acc = state
+            sl = pl.ds(k * chunk, chunk)
+            alpha, _, _, _, _, _ = _chunk_alpha(
+                geom_ref, i, sl, px, py, count, k, chunk)
+            la = jnp.log(1.0 - alpha)
+            clog = log_full + jnp.dot(la, tri,
+                                      preferred_element_type=jnp.float32)
+            applied = clog >= LOG_T_EPS
+            w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)
+            rgbd = rgbd_ref[i, :, sl]                            # (4, G)
+            acc = acc + jax.lax.dot_general(
+                rgbd, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # (4, npix)
+            log_full = log_full + jnp.sum(la, axis=1, keepdims=True)
+            log_app = log_app + jnp.sum(
+                jnp.where(applied, la, 0.0), axis=1, keepdims=True
+            )
+            return k + 1, log_full, log_app, acc
+
+        init = (
+            jnp.int32(0),
+            jnp.zeros((npix, 1), jnp.float32),
+            jnp.zeros((npix, 1), jnp.float32),
+            jnp.zeros((4, npix), jnp.float32),
         )
-        return k + 1, log_full, log_app, acc
-
-    init = (
-        jnp.int32(0),
-        jnp.zeros((npix, 1), jnp.float32),
-        jnp.zeros((npix, 1), jnp.float32),
-        jnp.zeros((4, npix), jnp.float32),
-    )
-    k_stop, log_full, log_app, acc = jax.lax.while_loop(cond, body, init)
-    accum_ref[0] = acc
-    logt_ref[0] = log_app
-    # residuals for the backward pass: the all-alphas log T where the sweep
-    # stopped (channel 0) and k_stop broadcast as f32 (channel 1) — saves
-    # bwd from re-walking the forward. (Scalar SMEM outputs need aligned
-    # blocks on real TPU, so the scalar rides a VMEM lane instead.)
-    resid_ref[0] = jnp.concatenate(
-        [log_full, jnp.full((ts * ts, 1), k_stop.astype(jnp.float32))], -1)
+        k_stop, log_full, log_app, acc = jax.lax.while_loop(cond, body, init)
+        accum_ref[i] = acc
+        logt_ref[i] = log_app
+        # residuals for the backward pass: the all-alphas log T where the
+        # sweep stopped (channel 0) and k_stop broadcast as f32 (channel 1)
+        # — saves bwd from re-walking the forward. (Scalar SMEM outputs need
+        # aligned blocks on real TPU, so the scalar rides a VMEM lane.)
+        resid_ref[i] = jnp.concatenate(
+            [log_full, jnp.full((ts * ts, 1), k_stop.astype(jnp.float32))],
+            -1)
 
 
 def _bwd_kernel(counts_ref, geom_ref, rgbd_ref, gacc_ref,
                 glogt_ref, resid_ref, dgeom_ref, drgbd_ref,
-                *, grid_x: int, ts: int, cap: int, chunk: int):
-    t = pl.program_id(0)
+                *, grid_x: int, ts: int, cap: int, chunk: int, tpb: int):
     npix = ts * ts
-    count = counts_ref[t]
-    px, py = _pixel_coords(t, grid_x, ts, npix)
 
     r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     tri = (r_i <= c_i).astype(jnp.float32)       # inclusive prefix
     tri_after = (r_i > c_i).astype(jnp.float32)  # strict suffix (k' > i)
 
-    dgeom_ref[0] = jnp.zeros((_GEOM_ROWS, cap), jnp.float32)
-    drgbd_ref[0] = jnp.zeros((_RGBD_ROWS, cap), jnp.float32)
+    for i in range(tpb):
+        t = pl.program_id(0) * tpb + i
+        count = counts_ref[t]
+        px, py = _pixel_coords(t, grid_x, ts, npix)
 
-    # forward-sweep endpoint comes precomputed from the forward kernel's
-    # residual output (ch 0 = final all-alphas log T, ch 1 = k_stop);
-    # the reverse sweep reconstructs each chunk's starting log T by
-    # subtracting the chunk's own sum(la) while walking backward — Mosaic
-    # disallows dynamic lane-indexed stores, and this is cheaper anyway.
-    k_stop = resid_ref[0, 0, 1].astype(jnp.int32)
-    log_full_end = resid_ref[0, :, 0:1]
+        dgeom_ref[i] = jnp.zeros((_GEOM_ROWS, cap), jnp.float32)
+        drgbd_ref[i] = jnp.zeros((_RGBD_ROWS, cap), jnp.float32)
 
-    # ---- reverse sweep accumulating gradients -----------------------------
-    gacc = gacc_ref[0]                       # (4, npix)
-    glogt = glogt_ref[0]                     # (npix, 1)
+        # forward-sweep endpoint comes precomputed from the forward kernel's
+        # residual output (ch 0 = final all-alphas log T, ch 1 = k_stop);
+        # the reverse sweep reconstructs each chunk's starting log T by
+        # subtracting the chunk's own sum(la) while walking backward — Mosaic
+        # disallows dynamic lane-indexed stores, and this is cheaper anyway.
+        k_stop = resid_ref[i, 0, 1].astype(jnp.int32)
+        log_full_end = resid_ref[i, :, 0:1]
 
-    def condB(state):
-        j, _ = state
-        return j < k_stop
+        # ---- reverse sweep accumulating gradients -------------------------
+        gacc = gacc_ref[i]                       # (4, npix)
+        glogt = glogt_ref[i]                     # (npix, 1)
 
-    def bodyB(state):
-        j, carry = state
-        k = k_stop - 1 - j
+        def condB(state):
+            j, _ = state
+            return j < k_stop
 
-        def compute(carry):
-            s_carry, log_full_end = carry
-            sl = pl.ds(pl.multiple_of(k * chunk, chunk), chunk)
-            alpha, araw, expp, gate, unclamped, geo = _chunk_alpha(
-                geom_ref, sl, px, py, count, k, chunk
-            )
-            dx, dy, ca, cb, cc = geo
-            la = jnp.log(1.0 - alpha)
-            la_sum = jnp.sum(la, axis=1, keepdims=True)
-            log_full0 = log_full_end - la_sum
-            clog = log_full0 + jnp.dot(
-                la, tri, preferred_element_type=jnp.float32
-            )
-            applied = clog >= LOG_T_EPS
-            w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)
+        def bodyB(state):
+            j, carry = state
+            k = k_stop - 1 - j
 
-            rgbd = rgbd_ref[0, :, sl]        # (4, G)
-            # dL/dw (npix, G) and dL/drgbd (4, G)
-            wbar = jax.lax.dot_general(
-                gacc, rgbd, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                # (npix, G)
-            drgbd = jax.lax.dot_general(
-                gacc, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                # (4, G)
-            drgbd_ref[0, :, sl] = drgbd
+            def compute(carry):
+                s_carry, log_full_end = carry
+                sl = pl.ds(pl.multiple_of(k * chunk, chunk), chunk)
+                alpha, araw, expp, gate, unclamped, geo = _chunk_alpha(
+                    geom_ref, i, sl, px, py, count, k, chunk
+                )
+                dx, dy, ca, cb, cc = geo
+                la = jnp.log(1.0 - alpha)
+                la_sum = jnp.sum(la, axis=1, keepdims=True)
+                log_full0 = log_full_end - la_sum
+                clog = log_full0 + jnp.dot(
+                    la, tri, preferred_element_type=jnp.float32
+                )
+                applied = clog >= LOG_T_EPS
+                w = jnp.where(applied, alpha * jnp.exp(clog - la), 0.0)
 
-            m = wbar * w                     # (npix, G)
-            suffix = jnp.dot(m, tri_after, preferred_element_type=jnp.float32)
-            labar = suffix + s_carry + jnp.where(applied, glogt, 0.0)
-            t_prev = jnp.exp(clog - la)
-            abar = (
-                jnp.where(applied, wbar * t_prev, 0.0)
-                - labar / (1.0 - alpha)
-            )
-            dpow = jnp.where(unclamped, abar * araw, 0.0)
-            dopa = jnp.where(unclamped, abar * expp, 0.0)
-            dgeom_ref[0, _GX : _GX + 1, sl] = jnp.sum(
-                dpow * -(ca * dx + cb * dy), axis=0, keepdims=True
-            )
-            dgeom_ref[0, _GY : _GY + 1, sl] = jnp.sum(
-                dpow * -(cc * dy + cb * dx), axis=0, keepdims=True
-            )
-            dgeom_ref[0, _GA : _GA + 1, sl] = jnp.sum(
-                dpow * (-0.5 * dx * dx), axis=0, keepdims=True
-            )
-            dgeom_ref[0, _GB : _GB + 1, sl] = jnp.sum(
-                dpow * (-dx * dy), axis=0, keepdims=True
-            )
-            dgeom_ref[0, _GC : _GC + 1, sl] = jnp.sum(
-                dpow * (-0.5 * dy * dy), axis=0, keepdims=True
-            )
-            dgeom_ref[0, _GOPA : _GOPA + 1, sl] = jnp.sum(
-                dopa, axis=0, keepdims=True
-            )
-            return (s_carry + jnp.sum(m, axis=1, keepdims=True), log_full0)
+                rgbd = rgbd_ref[i, :, sl]        # (4, G)
+                # dL/dw (npix, G) and dL/drgbd (4, G)
+                wbar = jax.lax.dot_general(
+                    gacc, rgbd, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                # (npix, G)
+                drgbd = jax.lax.dot_general(
+                    gacc, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                # (4, G)
+                drgbd_ref[i, :, sl] = drgbd
 
-        return j + 1, jax.lax.cond(k >= 0, compute, lambda c: c, carry)
+                m = wbar * w                     # (npix, G)
+                suffix = jnp.dot(m, tri_after,
+                                 preferred_element_type=jnp.float32)
+                labar = suffix + s_carry + jnp.where(applied, glogt, 0.0)
+                t_prev = jnp.exp(clog - la)
+                abar = (
+                    jnp.where(applied, wbar * t_prev, 0.0)
+                    - labar / (1.0 - alpha)
+                )
+                dpow = jnp.where(unclamped, abar * araw, 0.0)
+                dopa = jnp.where(unclamped, abar * expp, 0.0)
+                dgeom_ref[i, _GX : _GX + 1, sl] = jnp.sum(
+                    dpow * -(ca * dx + cb * dy), axis=0, keepdims=True
+                )
+                dgeom_ref[i, _GY : _GY + 1, sl] = jnp.sum(
+                    dpow * -(cc * dy + cb * dx), axis=0, keepdims=True
+                )
+                dgeom_ref[i, _GA : _GA + 1, sl] = jnp.sum(
+                    dpow * (-0.5 * dx * dx), axis=0, keepdims=True
+                )
+                dgeom_ref[i, _GB : _GB + 1, sl] = jnp.sum(
+                    dpow * (-dx * dy), axis=0, keepdims=True
+                )
+                dgeom_ref[i, _GC : _GC + 1, sl] = jnp.sum(
+                    dpow * (-0.5 * dy * dy), axis=0, keepdims=True
+                )
+                dgeom_ref[i, _GOPA : _GOPA + 1, sl] = jnp.sum(
+                    dopa, axis=0, keepdims=True
+                )
+                return (s_carry + jnp.sum(m, axis=1, keepdims=True),
+                        log_full0)
 
-    # dynamic bound: walk exactly the chunks the forward visited (k_stop),
-    # not the full capacity — tiles far below capacity skip the dead tail
-    jax.lax.while_loop(
-        condB, bodyB,
-        (jnp.int32(0),
-         (jnp.zeros((npix, 1), jnp.float32), log_full_end)),
-    )
+            return j + 1, jax.lax.cond(k >= 0, compute, lambda c: c, carry)
+
+        # dynamic bound: walk exactly the chunks the forward visited
+        # (k_stop), not the full capacity — tiles far below capacity skip
+        # the dead tail
+        jax.lax.while_loop(
+            condB, bodyB,
+            (jnp.int32(0),
+             (jnp.zeros((npix, 1), jnp.float32), log_full_end)),
+        )
+
+
+def _pick_tpb(num_tiles: int, cap: int) -> int:
+    """Largest tiles-per-step in {8..1} dividing num_tiles with the geom
+    block under ~1 MB (double-buffered DMA stays well inside VMEM)."""
+    for tpb in (8, 6, 5, 4, 3, 2):
+        if num_tiles % tpb == 0 and tpb * _GEOM_ROWS * cap * 4 <= 1 << 20:
+            return tpb
+    return 1
 
 
 @functools.lru_cache(maxsize=32)
@@ -241,26 +263,27 @@ def _make_core_calls(num_tiles: int, grid_x: int, ts: int, cap: int,
     """Raw (fwd_call, bwd_call) pallas_call pair — shared by the local
     custom_vjp below and the stream assembly in stream_blend.py."""
     npix = ts * ts
+    tpb = _pick_tpb(num_tiles, cap)
     fwd_kernel = functools.partial(
-        _fwd_kernel, grid_x=grid_x, ts=ts, cap=cap, chunk=chunk
+        _fwd_kernel, grid_x=grid_x, ts=ts, cap=cap, chunk=chunk, tpb=tpb
     )
     bwd_kernel = functools.partial(
-        _bwd_kernel, grid_x=grid_x, ts=ts, cap=cap, chunk=chunk
+        _bwd_kernel, grid_x=grid_x, ts=ts, cap=cap, chunk=chunk, tpb=tpb
     )
 
     fwd_call = pl.pallas_call(
         fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(num_tiles,),
+            grid=(num_tiles // tpb,),
             in_specs=[
-                pl.BlockSpec((1, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
-                pl.BlockSpec((1, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 4, npix), lambda t, c: (t, 0, 0)),
-                pl.BlockSpec((1, npix, 1), lambda t, c: (t, 0, 0)),
-                pl.BlockSpec((1, npix, 2), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, 4, npix), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, npix, 1), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, npix, 2), lambda t, c: (t, 0, 0)),
             ],
         ),
         out_shape=[
@@ -275,17 +298,17 @@ def _make_core_calls(num_tiles: int, grid_x: int, ts: int, cap: int,
         bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(num_tiles,),
+            grid=(num_tiles // tpb,),
             in_specs=[
-                pl.BlockSpec((1, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
-                pl.BlockSpec((1, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
-                pl.BlockSpec((1, 4, npix), lambda t, c: (t, 0, 0)),
-                pl.BlockSpec((1, npix, 1), lambda t, c: (t, 0, 0)),
-                pl.BlockSpec((1, npix, 2), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, 4, npix), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, npix, 1), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, npix, 2), lambda t, c: (t, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
-                pl.BlockSpec((1, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, _GEOM_ROWS, cap), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((tpb, _RGBD_ROWS, cap), lambda t, c: (t, 0, 0)),
             ],
         ),
         out_shape=[
