@@ -109,10 +109,13 @@ def localize_queries(
                     f"{raster_cfg.max_per_tile} after {grows} growths — "
                     "raise max_per_tile / max_pairs")
             raster_cfg = raster_cfg.replace(
-                max_per_tile=2 * raster_cfg.max_per_tile)
+                max_per_tile=2 * raster_cfg.max_per_tile,
+                max_render=2 * (raster_cfg.max_render
+                                or raster_cfg.max_pairs))
             grows += 1
             log_fn(f"tile overflow: growing max_per_tile to "
-                   f"{raster_cfg.max_per_tile} (recompiles)")
+                   f"{raster_cfg.max_per_tile} / max_render to "
+                   f"{raster_cfg.max_render} (recompiles)")
             res = refine_poses_batch(
                 gaussians, cams, imgs, masks, cfg.tracking, raster_cfg,
                 gt_depths=deps,

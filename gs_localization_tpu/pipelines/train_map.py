@@ -190,17 +190,23 @@ def train_map(
             mtc = int(aux["max_tile_count"])
             old = raster_cfg.max_per_tile
             if bool(aux["tile_overflow"]):
+                # legacy (T, cap) layout: grow the per-tile cap to the true
+                # max count; stream layout: tile_overflow means the
+                # materialized pair stream truncated -> double max_render
                 new_cap = old
                 while new_cap < mtc:
                     new_cap *= 2
-                raster_cfg = raster_cfg.replace(max_per_tile=new_cap)
+                mr = raster_cfg.max_render or raster_cfg.max_pairs
+                raster_cfg = raster_cfg.replace(max_per_tile=new_cap,
+                                                max_render=2 * mr)
             if bool(aux["overflow"]):
                 raster_cfg = raster_cfg.replace(
                     max_pairs=2 * raster_cfg.max_pairs)
             log_fn(f"[{it}] binning overflow (max_tile_count={mtc}): "
                    f"raster capacities now max_per_tile="
                    f"{raster_cfg.max_per_tile} max_pairs="
-                   f"{raster_cfg.max_pairs} (re-jit)")
+                   f"{raster_cfg.max_pairs} max_render="
+                   f"{raster_cfg.max_render} (re-jit)")
 
         if it < cfg.densify_until and it > cfg.densify_from \
                 and it % cfg.densification_interval == 0:

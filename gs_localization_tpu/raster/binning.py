@@ -61,31 +61,45 @@ def _next_pow2(n: int) -> int:
 class StreamBins(NamedTuple):
     """Depth-rank pair stream (the fast layout for the Pallas blend).
 
-    v5e profiling (benchmarks/micro_binning.py): 1-D *element* gathers cost
-    ~7.5 ns/index while multi-column *row* gathers cost ~1.8 ns/row, and the
-    XLA transpose-of-gather scatter-add in the blend backward costs ~20 ms at
-    1.2 M pairs. This layout eliminates every element gather and the
-    backward scatter: the pair order comes out of ONE 2-operand sort
-    (key, slot), the inverse permutation out of a second cheap sort, and the
-    backward reduction runs in slot order — a reshape-sum over the fast
-    slots plus a cumsum over the contiguous slow-path segments.
+    v5e profiling (benchmarks/micro_binning.py, BENCH_MICRO_r03.json): XLA
+    row gathers cost ~20-30 ns/row and scatter-adds ~90 ms at 600k rows, so
+    the per-iteration path must not contain ANY capacity-sized XLA
+    gather/scatter. This layout gets there:
+
+    - ONE 2-operand sort (packed key, slot) orders the pairs; the inverse
+      permutation comes from a cheap unique-index scatter (~3.7 ms at 500k,
+      vs ~10-20 ms for a second sort).
+    - only the first ``max_render`` positions are materialized
+      (``gid_of_pos``); the blend kernel DMAs its per-tile windows straight
+      from the assembled stream in HBM (stream_blend.py), so nothing of
+      window size (T, cap) is ever built in XLA.
+    - the backward reduction runs in slot order: fast slots reduce by
+      reshape-sum, slow slots by one cumsum over contiguous per-rank
+      segments, and rank -> original id is one unique-index scatter.
+    - per-tile lists are NEVER truncated (no max_per_tile): tiles walk their
+      true counts; the only capacities are the slow-pair pool (``overflow``)
+      and the materialized stream (``tile_overflow`` = stream truncated).
 
     All ids below are depth RANKS (positions in the depth sort); ``order``
     maps rank -> original Gaussian index.
     """
 
     order: jnp.ndarray        # (P,) int32 depth order (rank -> orig id)
-    rank_of_pos: jnp.ndarray  # (N,) int32 depth rank per sorted position
-    pos_by_slot: jnp.ndarray  # (N,) int32 sorted position per pair slot
-    #   slots: fast = rank * fast_k + k, slow = P * fast_k + pair_idx
-    winslot: jnp.ndarray      # (N,) int32 tile*cap + lane per position
-    win_valid: jnp.ndarray    # (N,) bool: position materialized in a window
+    rank_of_pos: jnp.ndarray  # (MR,) int32 depth rank per sorted position
+    gid_of_pos: jnp.ndarray   # (MR_AL,) int32 original Gaussian id per
+    #   ALIGNED position (gaps/truncated tail = dead row P)
+    pos_by_slot: jnp.ndarray  # (S,) int32 aligned position per pair slot
+    #   (MR_AL = none); slots: fast = rank*fast_k + k, slow = P*fast_k + idx
     slow_starts: jnp.ndarray  # (P + 1,) int32 slow-path segment bounds/rank
-    tstart: jnp.ndarray       # (num_tiles,) int32 position of tile start
+    tstart: jnp.ndarray       # (num_tiles,) int32 ALIGNED tile start
+    walk_counts: jnp.ndarray  # (num_tiles,) int32 materialized count per tile
     tile_counts: jnp.ndarray  # (num_tiles,) int32 true counts (uncapped)
-    num_rendered: jnp.ndarray   # () int32
+    kept: jnp.ndarray         # () int32 pairs actually materialized
+    kept_al: jnp.ndarray      # () int32 aligned-stream length in use
+    num_rendered: jnp.ndarray   # () int32 total emitted pairs
     overflow: jnp.ndarray       # () bool — slow-path pair capacity exceeded
-    tile_overflow: jnp.ndarray  # () bool — some tile truncated at the cap
+    tile_overflow: jnp.ndarray  # () bool — stream truncated (kept would
+    #                               exceed max_render)
     max_tile_count: jnp.ndarray  # () int32
 
 
@@ -94,13 +108,15 @@ def bin_stream(
     grid_x: int,
     grid_y: int,
     max_pairs: int,
-    max_per_tile: int,
-    fast_k: int = 4,
+    max_render: int,
+    fast_k: int = 1,
+    align: int = 256,
 ) -> StreamBins:
     """Depth-sorted tile binning as a pair stream (see StreamBins).
 
-    Same semantics as ``bin_gaussians`` (identical packed keys and sort),
-    reorganized so downstream work is row gathers only.
+    Same pair semantics as ``bin_gaussians`` (identical packed keys and
+    sort), reorganized so the per-iteration downstream work contains no
+    capacity-sized gathers.
     """
     assert fast_k >= 1, "stream binning requires a fast path"
     p = prep.depths.shape[0]
@@ -150,47 +166,73 @@ def bin_stream(
     )
 
     keys = jnp.concatenate([key_fast.reshape(-1), key_slow])
-    n = keys.shape[0]
-    slots = jnp.arange(n, dtype=jnp.int32)
+    s = keys.shape[0]
+    mr = min((max_render // align) * align, (s // align) * align)
+    mr_al = mr + num_tiles * align        # aligned stream capacity
+    slots = jnp.arange(s, dtype=jnp.int32)
     keys_sorted, slot_of_pos = jax.lax.sort((keys, slots))
-    # inverse permutation: second sort is ~10x cheaper than a scatter here
-    _, pos_by_slot = jax.lax.sort((slot_of_pos, slots))
 
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32) * rank_size
     bounds = jnp.searchsorted(keys_sorted, boundaries, side="left").astype(
         jnp.int32
     )
-    tstart = bounds[:-1]
+    kept_true = bounds[-1]                 # first sentinel position
+    kept = jnp.minimum(kept_true, mr)
+    tstart_pos = bounds[:-1]
     tcount = bounds[1:] - bounds[:-1]
 
-    rank_of_pos = keys_sorted & (rank_size - 1)
-    tile_of_pos = keys_sorted // rank_size               # non-decreasing
-    # lane within tile via segment-base scan (a tstart[tile_of_pos] element
-    # gather would cost ~7.5 ms at 1M positions)
-    changed = jnp.concatenate(
-        [jnp.ones((1,), bool), tile_of_pos[1:] != tile_of_pos[:-1]]
-    )
-    seg_base = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(changed, slots, 0)
-    )
-    lane = slots - seg_base
-    win_valid = (tile_of_pos < num_tiles) & (lane < max_per_tile)
-    winslot = jnp.where(win_valid, tile_of_pos * max_per_tile + lane, 0)
+    # Aligned layout: tile t's pairs live at [astart[t], astart[t]+count)
+    # with astart a multiple of ``align`` — Mosaic DMA lane offsets must be
+    # provably 128-aligned, and aligned windows never overlap across tiles.
+    acount = ((tcount + align - 1) // align) * align
+    astart_all = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(acount, dtype=jnp.int32)])
+    kept_al = jnp.minimum(astart_all[-1], mr_al)
+    astart = jnp.minimum(astart_all[:-1], mr_al)
+    walk_counts = jnp.minimum(tcount, jnp.maximum(mr_al - astart, 0))
+
+    rank_mr = jnp.minimum(keys_sorted[:mr] & (rank_size - 1), p - 1)
+    gid_mr = order[rank_mr]                              # (MR,) element gather
+    # per-position shift into the aligned layout: shift[t] = astart - tstart
+    # is constant per tile and non-decreasing, so a scatter of the per-tile
+    # value at each tile's first position + a running max broadcasts it
+    # (an mr-element gather of shift[tile_of_pos] would cost ~4 ms)
+    shift = astart_all[:-1] - tstart_pos                 # (T,) >= 0
+    pos_iota = jnp.arange(mr, dtype=jnp.int32)
+    heads = jnp.zeros((mr,), jnp.int32).at[
+        jnp.minimum(tstart_pos, jnp.int32(max(mr - 1, 0)))
+    ].max(shift, mode="drop")
+    shift_of_pos = jax.lax.associative_scan(jnp.maximum, heads)
+    ap_of_pos = pos_iota + shift_of_pos                  # aligned position
+    pos_live = pos_iota < kept
+
+    # aligned stream contents: original Gaussian id per aligned position;
+    # gaps and the truncated tail point at the dead row P (zero params)
+    gid_of_apos = jnp.full((mr_al,), p, jnp.int32).at[
+        jnp.where(pos_live, ap_of_pos, mr_al)
+    ].set(gid_mr, mode="drop", unique_indices=True)
+    # inverse map for the backward reduction: slot -> aligned position;
+    # unmapped slots point at mr_al (a zero row of the padded grad stream)
+    ap_by_slot = jnp.full((s,), mr_al, jnp.int32).at[
+        jnp.where(pos_live, slot_of_pos[:mr], s)
+    ].set(ap_of_pos, mode="drop", unique_indices=True)
 
     num_rendered = jnp.sum(touched_s, dtype=jnp.int32)
     max_tile_count = jnp.max(tcount)
     return StreamBins(
         order=order,
-        rank_of_pos=jnp.minimum(rank_of_pos, p - 1),
-        pos_by_slot=pos_by_slot,
-        winslot=winslot,
-        win_valid=win_valid,
+        rank_of_pos=rank_mr,
+        gid_of_pos=gid_of_apos,
+        pos_by_slot=ap_by_slot,
         slow_starts=starts,
-        tstart=tstart,
+        tstart=astart,
+        walk_counts=walk_counts,
         tile_counts=tcount,
+        kept=kept,
+        kept_al=kept_al,
         num_rendered=num_rendered,
         overflow=total_slow > max_pairs,
-        tile_overflow=max_tile_count > max_per_tile,
+        tile_overflow=kept_true > mr,
         max_tile_count=max_tile_count,
     )
 

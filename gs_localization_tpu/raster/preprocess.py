@@ -133,20 +133,38 @@ def preprocess(
     py = ((p_proj[:, 1] + 1.0) * height - 1.0) * 0.5
     means2d = jnp.stack([px, py], axis=-1)
 
-    rad_i = radius_f
+    # Binning uses an opacity-aware radius: beyond
+    # r = sqrt(2 ln(255 opa) lambda_max) every pixel fails the blend's
+    # alpha >= 1/255 gate (forward.cu:341-345), so pairs outside it render
+    # EXACTLY nothing — dropping them changes no output, only pair count.
+    # The reference's fixed 3-sigma radius (forward.cu:229-232) is kept for
+    # the `radii` output / visibility semantics.
+    opacity = gaussians.get_opacity[:, 0]
+    r_cull = jnp.sqrt(jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(opacity, 1e-30) * 255.0), 0.0)
+        * jnp.maximum(lambda1, 0.0))
+    rad_i = jnp.minimum(radius_f, jnp.ceil(r_cull))
     x0 = jnp.clip(jnp.floor((px - rad_i) / tile_size), 0, grid_x).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((py - rad_i) / tile_size), 0, grid_y).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((px + rad_i + tile_size - 1) / tile_size), 0, grid_x).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((py + rad_i + tile_size - 1) / tile_size), 0, grid_y).astype(jnp.int32)
 
-    valid = (
+    base_valid = (
         gaussians.live
         & (depth > near_cull)
         & (jnp.abs(det) > 1e-12)
-        & ((x1 - x0) * (y1 - y0) > 0)
     )
+    valid = base_valid & ((x1 - x0) * (y1 - y0) > 0) & (r_cull > 0.0)
     tiles_touched = jnp.where(valid, (x1 - x0) * (y1 - y0), 0).astype(jnp.int32)
-    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    # radii/visibility keep the reference's 3-sigma semantics (the rect above
+    # may be empty for near-transparent Gaussians the reference still rates
+    # visible)
+    rx0 = jnp.clip(jnp.floor((px - radius_f) / tile_size), 0, grid_x)
+    ry0 = jnp.clip(jnp.floor((py - radius_f) / tile_size), 0, grid_y)
+    rx1 = jnp.clip(jnp.floor((px + radius_f + tile_size - 1) / tile_size), 0, grid_x)
+    ry1 = jnp.clip(jnp.floor((py + radius_f + tile_size - 1) / tile_size), 0, grid_y)
+    ref_valid = base_valid & ((rx1 - rx0) * (ry1 - ry0) > 0)
+    radii = jnp.where(ref_valid, radius_f, 0.0).astype(jnp.int32)
 
     # ---- color ------------------------------------------------------
     if colors_precomp is not None:

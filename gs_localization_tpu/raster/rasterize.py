@@ -35,6 +35,9 @@ class RasterizerConfig:
     tile_size: int = struct.field(pytree_node=False, default=16)
     max_pairs: int = struct.field(pytree_node=False, default=1 << 20)
     max_per_tile: int = struct.field(pytree_node=False, default=1024)
+    # materialized pair-stream capacity for the Pallas stream path (0 =
+    # max_pairs). Sizes the per-iteration assembly, NOT the sort capacity.
+    max_render: int = struct.field(pytree_node=False, default=0)
     fast_k: int = struct.field(pytree_node=False, default=8)
     chunk: int = struct.field(pytree_node=False, default=64)
     pallas_chunk: int = struct.field(pytree_node=False, default=256)
@@ -76,8 +79,9 @@ def compute_bins(
                       scale_modifier=config.scale_modifier)
     if _blend_mode(config.backend) in ("pallas", "pallas_interpret"):
         return binning_lib.bin_stream(
-            prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
-            fast_k=max(config.fast_k, 1),
+            prep, grid_x, grid_y, config.max_pairs,
+            config.max_render or config.max_pairs,
+            fast_k=max(config.fast_k, 1), align=config.pallas_chunk,
         )
     return binning_lib.bin_gaussians(
         prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
@@ -122,8 +126,9 @@ def rasterize(
     if bins is None or (is_stream_bins and not use_stream):
         if use_stream:
             bins = binning_lib.bin_stream(
-                prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
-                fast_k=max(config.fast_k, 1),
+                prep, grid_x, grid_y, config.max_pairs,
+                config.max_render or config.max_pairs,
+                fast_k=max(config.fast_k, 1), align=config.pallas_chunk,
             )
         else:
             bins = binning_lib.bin_gaussians(
@@ -141,8 +146,8 @@ def rasterize(
              prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2], prep.depths],
             axis=1)                                       # (P, 12)
         out = stream_blend.blend_stream_pallas(
-            pack, bins, grid_x, ts, config.max_per_tile,
-            max(config.fast_k, 1), chunk=config.pallas_chunk,
+            pack, bins, grid_x, ts, max(config.fast_k, 1),
+            chunk=config.pallas_chunk,
             interpret=(mode == "pallas_interpret"),
         )
     elif mode in ("pallas", "pallas_interpret"):

@@ -56,21 +56,27 @@ def test_slow_path_forward_and_grads(scene):
             atol=5e-3, rtol=1e-2, err_msg=f"grad mismatch: {name}")
 
 
-def test_window_truncation_matches_legacy(scene):
-    # when a tile's count exceeds max_per_tile both layouts must keep the
-    # SAME (nearest) pairs and flag tile_overflow
+def test_stream_never_truncates_tiles(scene):
+    # v2 semantics: tiles walk their TRUE counts (no max_per_tile); a tiny
+    # legacy cap truncates, the stream must still match the FULL render,
+    # and the only stream capacity is max_render (flagged when exceeded)
     g, cam = scene
     prep = preprocess(g, cam, tile_size=16)
-    sb = binning_lib.bin_stream(prep, 4, 3, max_pairs=1 << 15,
-                                max_per_tile=32, fast_k=1)
-    assert bool(sb.tile_overflow)
-    cfg_small = CFG_PL.replace(max_per_tile=32, pallas_chunk=32)
-    cfg_small_jnp = CFG_JNP.replace(max_per_tile=32, chunk=32)
-    a = rasterize(g, cam, cfg_small_jnp)
-    b = rasterize(g, cam, cfg_small)
-    assert bool(b.tile_overflow)
+    legacy_small = binning_lib.bin_gaussians(prep, 4, 3, max_pairs=1 << 15,
+                                             max_per_tile=32, fast_k=1)
+    assert bool(legacy_small.tile_overflow)  # the scene overfills cap 32
+    cfg_stream = CFG_PL.replace(max_per_tile=32, pallas_chunk=32)
+    cfg_full_jnp = CFG_JNP.replace(max_per_tile=1024, chunk=32)
+    a = rasterize(g, cam, cfg_full_jnp)      # untruncated reference
+    b = rasterize(g, cam, cfg_stream)
+    assert not bool(b.tile_overflow)
     np.testing.assert_allclose(np.asarray(b.color), np.asarray(a.color),
                                atol=3e-5, rtol=3e-5)
+    # max_render caps the materialized stream and is flagged when exceeded
+    sb = binning_lib.bin_stream(prep, 4, 3, max_pairs=1 << 15,
+                                max_render=64, fast_k=1, align=32)
+    assert bool(sb.tile_overflow)
+    assert int(sb.kept) == 64
 
 
 def test_bins_reuse_across_poses(scene):
@@ -99,19 +105,28 @@ def test_stream_matches_gid_matrix_layout(scene):
     legacy = binning_lib.bin_gaussians(prep, 4, 3, max_pairs=1 << 15,
                                        max_per_tile=256, fast_k=1)
     sb = binning_lib.bin_stream(prep, 4, 3, max_pairs=1 << 15,
-                                max_per_tile=256, fast_k=1)
+                                max_render=1 << 15, fast_k=1, align=32)
     np.testing.assert_array_equal(
-        np.asarray(sb.tile_counts),
+        np.asarray(jnp.minimum(sb.tile_counts, 256)),
         np.asarray(legacy.tile_counts))
-    order = np.asarray(sb.order)
-    rank_of_pos = np.asarray(sb.rank_of_pos)
-    tstart = np.asarray(sb.tstart)
-    cnt = np.asarray(sb.tile_counts)
+    gid_of_apos = np.asarray(sb.gid_of_pos)
+    mr_al = gid_of_apos.shape[0]
+    p_dead = g.xyz.shape[0]
+    astart = np.asarray(sb.tstart)
+    cnt = np.asarray(sb.walk_counts)
     gid_legacy = np.asarray(legacy.tile_gid)
     for t in range(12):
-        ranks = rank_of_pos[tstart[t]: tstart[t] + cnt[t]]
-        np.testing.assert_array_equal(order[ranks], gid_legacy[t, :cnt[t]])
-    # pos_by_slot is the exact inverse of the position->slot sort
-    n = rank_of_pos.shape[0]
+        assert astart[t] % 32 == 0
+        seg = gid_of_apos[astart[t]: astart[t] + cnt[t]]
+        n_cmp = min(cnt[t], 256)
+        np.testing.assert_array_equal(seg[:n_cmp], gid_legacy[t, :n_cmp])
+        # alignment gap after the segment is dead rows
+        gap_end = astart[t] + ((cnt[t] + 31) // 32) * 32
+        assert (gid_of_apos[astart[t] + cnt[t]: gap_end] == p_dead).all()
+    # pos_by_slot maps each materialized pair to a unique aligned position;
+    # all other slots point at the zero sentinel (= mr_al)
+    kept = int(sb.kept)
     pos_by_slot = np.asarray(sb.pos_by_slot)
-    assert sorted(pos_by_slot.tolist()) == list(range(n))
+    real = pos_by_slot[pos_by_slot != mr_al]
+    assert len(real) == kept and len(set(real.tolist())) == kept
+    assert (gid_of_apos[real] != p_dead).all()
