@@ -23,10 +23,12 @@ Measured configurations (VERDICT r2 #1):
     speed-of-light bound of benchmarks/roofline.py (v5e: 197 TFLOP/s bf16
     MXU => ~65 TFLOP/s f32-via-bf16x3, 4 TFLOP/s VPU, 819 GB/s HBM).
 
-Capacity honesty: the binner's own ``max_tile_count`` at this scene is 640
-(> the former cap of 512 — the r2 bench silently truncated tiles). The cap
-here is 768 with the ``tile_overflow`` flag ASSERTED False, and pair
-capacity 2^20 >= the true 423k pairs with ``overflow`` asserted False.
+Capacity honesty: the stream rasterizer (r3) never truncates tiles — its
+only capacities are the slow-pair pool and the materialized stream
+(``max_render``), both ASSERTED un-overflowed here. The pose-mode path
+still uses the legacy (T, cap) pair pack; its cap of 768 >= the true
+max_tile_count (780 pre-cull, less after the opacity-aware radius) is
+asserted via its own overflow flag.
 
 ``vs_baseline``: measured Mpix/s over the analytic speed-of-light Mpix/s
 for the same per-iteration blend work (full-capacity walk; fraction of
@@ -41,8 +43,9 @@ import time
 
 import numpy as np
 
-CAP = 768          # >= max_tile_count=640 at this scene (multiple of 256)
-MAX_PAIRS = 1 << 20  # >= 423593 true pairs
+CAP = 768          # pose-mode pair-pack cap (legacy layout; multiple of 256)
+MAX_PAIRS = 1 << 19  # slow-pair pool >= true slow pairs (~377k)
+MAX_RENDER = 1 << 19  # materialized stream >= 470k kept pairs
 CHUNK = 256
 W, H = 640, 480
 N_GAUSS = 100_000
@@ -112,8 +115,8 @@ def main() -> None:
     cam = Camera.from_rt(np.eye(3), np.zeros(3), 520.0, 520.0, W, H)
     on_tpu = jax.default_backend() == "tpu"
     cfg = RasterizerConfig(
-        max_pairs=MAX_PAIRS, max_per_tile=CAP, fast_k=0,
-        backend="pallas" if on_tpu else "jnp", pallas_chunk=CHUNK,
+        max_pairs=MAX_PAIRS, max_per_tile=CAP, max_render=MAX_RENDER,
+        fast_k=1, backend="pallas" if on_tpu else "jnp", pallas_chunk=CHUNK,
     )
     gt_img = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
     gt_dep = jnp.asarray(rng.uniform(1, 8, (H, W)), jnp.float32)
@@ -126,9 +129,15 @@ def main() -> None:
     pair_ovf = bool(bins.overflow)
     mtc = int(bins.max_tile_count)
     assert not tile_ovf, (
-        f"tile_overflow at cap={CAP} (max_tile_count={mtc}) — the bench "
-        "would measure a truncated render; raise CAP")
+        f"stream truncated at max_render={MAX_RENDER} — the bench would "
+        "measure a truncated render; raise MAX_RENDER")
     assert not pair_ovf, f"pair overflow at max_pairs={MAX_PAIRS}"
+    if on_tpu:
+        from gs_localization_tpu.raster.pose_mode import build_pair_pack
+        ppack = jax.jit(lambda: build_pair_pack(g, cam, cfg))()
+        assert not bool(ppack.overflow), (
+            f"pose-mode pair pack truncated at cap={CAP} "
+            f"(max_tile_count={mtc})")
 
     def run_refine(tcfg):
         fn = jax.jit(lambda cam_: refine_pose(
@@ -155,20 +164,20 @@ def main() -> None:
         num_iters=N_LOOP, lr=1e-3, convergence=0.0, rebin_every=10))
 
     # ---- reference semantics: full fwd+bwd, rebin every iteration --------
+    # chained inside one jit (benchmarks/timing.py): the tunneled runtime's
+    # ~28 ms dispatch+fetch would otherwise dominate a ~34 ms step
+    from benchmarks.timing import chained_time, measure_floor
+
     def ref_loss(gg, tau):
         out = rasterize(gg, cam.with_delta(tau), cfg)
         return jnp.abs(out.color - gt_img).mean() \
             + 0.01 * jnp.abs(out.depth - gt_dep).mean()
 
-    ref_grad = jax.jit(jax.grad(ref_loss, argnums=(0, 1)))
-    gr, gtau = ref_grad(g, jnp.zeros(6))
-    _ = float(gtau[0])
-
-    def ref_step():
-        gr, gtau = ref_grad(g, jnp.zeros(6))
-        return gtau
-
-    ref_dt = _time_loop(ref_step, lambda r: float(r[0]))
+    floor = measure_floor()
+    ref_dt = chained_time(
+        lambda tau: jax.grad(ref_loss, argnums=(0, 1),
+                             allow_int=True)(g, tau)[1],
+        jnp.zeros(6), K=10, floor=floor)
     ref_mpix = mpix / ref_dt
 
     # ---- blend kernel roofline % (benchmarks/roofline.py math, inlined) --

@@ -7,11 +7,19 @@ of the op INSIDE one jit (data dependency through a scalar) and fetches
 once; the per-op time is (total - floor) / K.
 """
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+# the float-sub noise chaining of timing.py: an int *0 bump gets
+# constant-folded and the loop body hoisted (this bit the r3 compute_bins
+# rows, see BENCH_MICRO_r03.json)
+from benchmarks.timing import chained_time as _chained  # noqa: E402
 
 
 def _fetch(out):
@@ -20,20 +28,13 @@ def _fetch(out):
 
 
 def chained_time(op, x, K=20, reps=3):
-    """op: pytree x -> any pytree. Chains K executions inside one jit."""
-
-    def body(i, x):
-        y = op(x)
+    """report() subtracts the amortized dispatch floor afterwards."""
+    def op_f(xx):
+        y = op(xx)
         leaf = jnp.asarray(jax.tree_util.tree_leaves(y)[0])
-        bump = (leaf.ravel()[0] * 0).astype(jax.tree_util.tree_leaves(x)[0].dtype)
-        return jax.tree_util.tree_map(lambda a: a + bump.astype(a.dtype), x)
+        return leaf.astype(jnp.float32)
 
-    f = jax.jit(lambda x: jax.lax.fori_loop(0, K, body, x))
-    _fetch(f(x))  # compile + settle
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        _fetch(f(x))
-    return (time.perf_counter() - t0) / reps / K
+    return _chained(op_f, x, K=K, reps=reps, floor=0.0)
 
 
 FLOOR = [0.0]

@@ -48,7 +48,7 @@ def main():
     cam = Camera.from_rt(np.eye(3), np.zeros(3), 520.0, 520.0, W, H)
     on_tpu = jax.default_backend() == "tpu"
     cfg = RasterizerConfig(
-        max_pairs=1 << 21, max_per_tile=1024, fast_k=0,
+        max_pairs=1 << 19, max_per_tile=1024, max_render=1 << 19, fast_k=1,
         backend="pallas" if on_tpu else "jnp", pallas_chunk=256)
 
     floor = measure_floor()

@@ -51,7 +51,7 @@ def timed_loop(name, body, x0, iters=8, reps=3):
     return ms
 
 
-def main(n_gauss=100_000, width=640, height=480, cap=512, chunk=256,
+def main(n_gauss=100_000, width=640, height=480, cap=768, chunk=256,
          iters=8):
     import jax
     import jax.numpy as jnp
@@ -72,9 +72,10 @@ def main(n_gauss=100_000, width=640, height=480, cap=512, chunk=256,
     gx, gy = -(-width // ts), -(-height // ts)
     T = gx * gy
     npix = ts * ts
-    MP = 1 << 21
+    MP = 1 << 19
     on_tpu = jax.default_backend() == "tpu"
-    cfg = RasterizerConfig(max_pairs=MP, max_per_tile=cap, fast_k=0,
+    cfg = RasterizerConfig(max_pairs=MP, max_per_tile=cap, max_render=MP,
+                           fast_k=1,
                            backend="pallas" if on_tpu else "jnp",
                            pallas_chunk=chunk)
     print(f"backend={jax.default_backend()} P={n_gauss} {width}x{height} "
@@ -83,11 +84,15 @@ def main(n_gauss=100_000, width=640, height=480, cap=512, chunk=256,
     prep0 = jax.jit(lambda g_: preprocess(g_, cam, tile_size=ts))(g)
     bins0 = jax.jit(
         lambda pr: B.bin_gaussians(pr, gx, gy, MP, cap, fast_k=0))(prep0)
+    sbins0 = jax.jit(
+        lambda pr: B.bin_stream(pr, gx, gy, MP, MP, fast_k=1,
+                                align=chunk))(prep0)
     nr = int(bins0.num_rendered)
     mtc = int(bins0.max_tile_count)
     mean_cnt = float(np.mean(np.asarray(bins0.tile_counts)))
     print(f"pairs={nr}  max_tile_count={mtc}  mean_tile_count={mean_cnt:.0f}"
-          f"  tile_overflow={bool(bins0.tile_overflow)}", flush=True)
+          f"  legacy_tile_overflow={bool(bins0.tile_overflow)}"
+          f"  stream_trunc={bool(sbins0.tile_overflow)}", flush=True)
 
     eps = 1e-30
 
@@ -97,14 +102,47 @@ def main(n_gauss=100_000, width=640, height=480, cap=512, chunk=256,
         return jnp.sum(pr.means2d) * eps + jnp.sum(pr.conic) * eps + x
     t_prep = timed_loop("preprocess", prep_step, jnp.float32(1.0), iters)
 
-    # ---- stage: binning ---------------------------------------------------
+    # ---- stage: binning (stream layout, the pallas product path) ----------
     def bin_step(x):
         pr = prep0._replace(depths=prep0.depths + x * eps)
-        bins = B.bin_gaussians(pr, gx, gy, MP, cap, fast_k=0)
+        bins = B.bin_stream(pr, gx, gy, MP, MP, fast_k=1, align=chunk)
         return jnp.sum(bins.tile_counts).astype(jnp.float32) * eps + x
-    t_bin = timed_loop("binning", bin_step, jnp.float32(1.0), iters)
+    t_bin = timed_loop("binning (stream)", bin_step, jnp.float32(1.0), iters)
 
-    # ---- stage: gather (the (T,12,cap) pack[tile_gid]) --------------------
+    # ---- stage: stream assembly (pack row gather + transpose) -------------
+    pack_rows = jnp.stack([prep0.means2d[:, 0]] * 12, axis=1)  # (P, 12)
+
+    def sasm_step(x):
+        pp = jnp.concatenate(
+            [pack_rows + x * eps, jnp.zeros((1, 12), jnp.float32)], axis=0)
+        st = jnp.swapaxes(pp[sbins0.gid_of_pos], 0, 1)     # (12, MR_AL)
+        return jnp.sum(st[:, ::255]) * eps + x
+    t_sasm = timed_loop("stream assemble (gather+T)", sasm_step,
+                        jnp.float32(1.0), iters)
+
+    # ---- stage: slot reduction (the stream backward outside the kernel) ---
+    mr_al = sbins0.gid_of_pos.shape[0]
+    dstream0 = jnp.ones((16, mr_al + chunk), jnp.float32)
+
+    def sred_step(x):
+        drows = jnp.swapaxes(dstream0[:12] + x * eps, 0, 1)
+        ok = jnp.arange(mr_al + chunk, dtype=jnp.int32) < sbins0.kept_al
+        drows = jnp.where(ok[:, None], drows, 0.0)
+        dslot = drows[sbins0.pos_by_slot]
+        dranked = dslot[:n_gauss].reshape(n_gauss, 1, 12).sum(axis=1)
+        dslow = dslot[n_gauss:]
+        cum = jnp.concatenate(
+            [jnp.zeros((1, 12), jnp.float32), jnp.cumsum(dslow, axis=0)])
+        sb = jnp.clip(sbins0.slow_starts, 0, dslow.shape[0])
+        dranked = dranked + cum[sb[1:]] - cum[sb[:-1]]
+        dpack = jnp.zeros((n_gauss, 12), jnp.float32).at[sbins0.order].set(
+            dranked, unique_indices=True)
+        return jnp.sum(dpack[::63]) * eps + x
+    t_sred = timed_loop("slot reduction (stream bwd)", sred_step,
+                        jnp.float32(1.0), iters)
+
+    # ---- stage: legacy gather (pose-mode pack build; NOT on the stream
+    # per-iteration path) ---------------------------------------------------
     pack12 = jnp.stack([prep0.means2d[:, 0]] * 12, axis=1)
 
     def gather_step(x):
@@ -205,17 +243,22 @@ def main(n_gauss=100_000, width=640, height=480, cap=512, chunk=256,
     print(f"full fwd:     {mpix / (t_fwd / 1e3):8.1f} Mpix/s")
     print(f"full fwd+bwd: {mpix / (t_fb / 1e3):8.1f} Mpix/s")
     print(f"pose-mode:    {mpix / (t_pm / 1e3):8.1f} Mpix/s")
-    print(f"\nstage shares of full fwd+bwd ({t_fb:.2f} ms): "
-          f"prep {t_prep:.2f} bin {t_bin:.2f} gather {t_gather:.2f} "
-          f"blend_fb {t_bfb:.2f} (sum {t_prep + t_bin + t_gather + t_bfb:.2f};"
-          f" rest = scatter-add transpose + preprocess bwd)")
+    ssum = t_prep + t_bin + t_sasm + t_bfb + t_sred
+    print(f"\nstage table of full fwd+bwd (rebin) step = {t_fb:.2f} ms:")
+    print(f"  preprocess fwd         {t_prep:7.2f} ms")
+    print(f"  binning (stream)       {t_bin:7.2f} ms")
+    print(f"  stream assemble fwd    {t_sasm:7.2f} ms")
+    print(f"  blend kernels fwd+bwd  {t_bfb:7.2f} ms  (pregathered proxy)")
+    print(f"  slot reduction bwd     {t_sred:7.2f} ms")
+    print(f"  -- sum {ssum:7.2f} ms = {100 * ssum / max(t_fb, 1e-9):.0f}% of "
+          f"step (rest: preprocess bwd + pack stack/unstack)")
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--wh", type=str, default="640x480")
-    ap.add_argument("--cap", type=int, default=512)
+    ap.add_argument("--cap", type=int, default=768)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--iters", type=int, default=8)
     a = ap.parse_args()
