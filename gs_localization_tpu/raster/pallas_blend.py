@@ -14,8 +14,11 @@ Same math as ``blend.py`` (the jnp oracle), reorganized for the TPU:
   the reference's block-vote break (forward.cu:312-314) without warp votes.
 - the backward kernel re-walks the list back-to-front (reference
   backward.cu:399-581) with a reverse suffix-sum matmul instead of atomics;
-  per-Gaussian gradients leave the kernel per-pair and are scatter-added
-  outside by XLA (the transpose of the gather that built the tile lists).
+  per-Gaussian gradients leave the kernel per-pair. (These pregathered
+  kernels serve the pose-mode path, whose params are constants per rebin;
+  the standard training path uses the DMA-stream kernels in
+  stream_blend.py, which reduce per-pair grads in slot order instead of
+  scatter-adding.)
 
 Everything is f32; counts ride scalar prefetch (SMEM) so index math can
 happen before the body runs.
@@ -88,7 +91,8 @@ def _fwd_kernel(counts_ref, geom_ref, rgbd_ref, accum_ref, logt_ref,
 
     # tpb tiles per grid step: a 1200-step grid of (1, 12, cap) blocks pays
     # ~1200x the fixed per-step pipeline cost and DMAs tiny blocks; grouping
-    # amortizes both (measured ~1.9x fwd on v5e at tpb=8).
+    # amortizes both (v5e bench shape: fwd 7.7 -> 1.8 ms, fwd+bwd 11.7 ->
+    # 6.4 ms at tpb=8 — benchmarks/kernel_probe.py, ROOFLINE_r03.log).
     for i in range(tpb):
         t = pl.program_id(0) * tpb + i
         count = counts_ref[t]

@@ -3,8 +3,10 @@
 The pose-refinement inner loop (SURVEY.md §3.2) renders the same Gaussian
 set ~50 times while the pose moves by ~1e-3 per step. The standard path
 re-gathers per-Gaussian screen-space rows into per-tile lists every
-iteration; on TPU that gather and its scatter-add transpose dominate the
-step cost (measured ~2x the blend kernels at 640x480/100k).
+iteration; on TPU that assembly dominated the r2 step cost (r3's stream
+layout shrank it — benchmarks/ROOFLINE_r03.log — but pose mode still wins
+by skipping per-iteration binning AND assembly entirely: 28.9 vs 8.0
+Mpix/s fwd+bwd on v5e).
 
 Pose mode restructures the loop:
 
