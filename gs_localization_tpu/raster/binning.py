@@ -131,7 +131,10 @@ def bin_stream(
     )
     order = jnp.argsort(depth_key).astype(jnp.int32)
     rect_s = prep.rect[order]                            # row gather (P, 4)
-    touched_s = prep.tiles_touched[order]
+    # defensive clamp: a rect can never legitimately touch more than the
+    # whole grid; garbage here would overflow the cumsums below and turn
+    # into out-of-bounds DMA offsets in the stream kernels
+    touched_s = jnp.clip(prep.tiles_touched[order], 0, num_tiles)
     w_s = jnp.maximum(rect_s[:, 2] - rect_s[:, 0], 1)
 
     sentinel = jnp.int32(num_tiles * rank_size)
@@ -141,6 +144,7 @@ def bin_stream(
     tile_fast = tile_y * grid_x + tile_x
     is_fast = touched_s <= fast_k
     ok_fast = is_fast[:, None] & (k_idx < touched_s[:, None])
+    ok_fast = ok_fast & (tile_fast >= 0) & (tile_fast < num_tiles)
     rank = jnp.arange(p, dtype=jnp.int32)[:, None]
     key_fast = jnp.where(ok_fast, tile_fast * rank_size + rank, sentinel)
 
@@ -161,8 +165,10 @@ def bin_stream(
     w_g = rows[:, 2]
     tx = rows[:, 0] + local % w_g
     ty = rows[:, 1] + local // w_g
+    tile_slow = ty * grid_x + tx
     key_slow = jnp.where(
-        pair_ok, (ty * grid_x + tx) * rank_size + gsrt, sentinel
+        pair_ok & (tile_slow >= 0) & (tile_slow < num_tiles),
+        tile_slow * rank_size + gsrt, sentinel
     )
 
     keys = jnp.concatenate([key_fast.reshape(-1), key_slow])

@@ -149,8 +149,15 @@ def preprocess(
     x1 = jnp.clip(jnp.floor((px + rad_i + tile_size - 1) / tile_size), 0, grid_x).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((py + rad_i + tile_size - 1) / tile_size), 0, grid_y).astype(jnp.int32)
 
+    # non-finite projections (NaN params mid-training, inf radii) must cull,
+    # not propagate: NaN survives jnp.clip and turns int casts into garbage,
+    # which the stream path would feed to DMA offsets (a kernel fault, not
+    # just bad pixels like the reference's CUDA)
+    finite = (jnp.isfinite(px) & jnp.isfinite(py) & jnp.isfinite(radius_f)
+              & jnp.isfinite(r_cull) & jnp.isfinite(depth))
     base_valid = (
         gaussians.live
+        & finite
         & (depth > near_cull)
         & (jnp.abs(det) > 1e-12)
     )

@@ -85,7 +85,7 @@ def _buf_alpha(g, px, py, count, k, chunk: int):
 def _fwd_kernel(tstart_ref, wcount_ref, stream_ref,
                 accum_ref, logt_ref, resid_ref,
                 buf, sem,
-                *, grid_x: int, ts: int, chunk: int, tpb: int):
+                *, grid_x: int, ts: int, chunk: int, tpb: int, mrpad: int):
     npix = ts * ts
     r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -93,8 +93,9 @@ def _fwd_kernel(tstart_ref, wcount_ref, stream_ref,
 
     for i in range(tpb):
         t = pl.program_id(0) * tpb + i
-        start = tstart_ref[t]
-        count = wcount_ref[t]
+        # clamp so a corrupt bin table can never drive DMA out of bounds
+        start = jnp.clip(tstart_ref[t], 0, mrpad - chunk)
+        count = jnp.clip(wcount_ref[t], 0, mrpad - chunk - start)
         n_chunks = pl.cdiv(count, chunk)
         px, py = _pixel_coords(t, grid_x, ts, npix)
 
@@ -160,7 +161,7 @@ def _fwd_kernel(tstart_ref, wcount_ref, stream_ref,
 def _bwd_kernel(tstart_ref, wcount_ref, stream_ref, gacc_ref, glogt_ref,
                 resid_ref, dstream_ref,
                 rbuf, rsem, wbuf, wsem, zbuf, zsem,
-                *, grid_x: int, ts: int, chunk: int, tpb: int):
+                *, grid_x: int, ts: int, chunk: int, tpb: int, mrpad: int):
     npix = ts * ts
     r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -172,11 +173,12 @@ def _bwd_kernel(tstart_ref, wcount_ref, stream_ref, gacc_ref, glogt_ref,
 
     for i in range(tpb):
         t = pl.program_id(0) * tpb + i
-        start = tstart_ref[t]
-        count = wcount_ref[t]
+        # clamp so a corrupt bin table can never drive DMA out of bounds
+        start = jnp.clip(tstart_ref[t], 0, mrpad - chunk)
+        count = jnp.clip(wcount_ref[t], 0, mrpad - chunk - start)
         n_chunks = pl.cdiv(count, chunk)
         px, py = _pixel_coords(t, grid_x, ts, npix)
-        k_stop = resid_ref[i, 0, 1].astype(jnp.int32)
+        k_stop = jnp.clip(resid_ref[i, 0, 1].astype(jnp.int32), 0, n_chunks)
         log_full_end0 = resid_ref[i, :, 0:1]
         gacc = gacc_ref[i]
         glogt = glogt_ref[i]
@@ -296,9 +298,9 @@ def _make_stream_calls(num_tiles: int, grid_x: int, ts: int, chunk: int,
     npix = ts * ts
     tpb = _pick_tpb(num_tiles)
     fwd_kernel = functools.partial(
-        _fwd_kernel, grid_x=grid_x, ts=ts, chunk=chunk, tpb=tpb)
+        _fwd_kernel, grid_x=grid_x, ts=ts, chunk=chunk, tpb=tpb, mrpad=mrpad)
     bwd_kernel = functools.partial(
-        _bwd_kernel, grid_x=grid_x, ts=ts, chunk=chunk, tpb=tpb)
+        _bwd_kernel, grid_x=grid_x, ts=ts, chunk=chunk, tpb=tpb, mrpad=mrpad)
 
     fwd_call = pl.pallas_call(
         fwd_kernel,
