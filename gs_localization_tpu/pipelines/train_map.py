@@ -240,6 +240,21 @@ def train_map(
                        f"({int(report.dropped)} dropped; re-jit)")
             state = state.replace(gaussians=g2, densify=d2, opt_state=opt2)
 
+        # debug affordance (reference's snapshot_fw.dump analog): dump the
+        # full Gaussian state at a given iteration to triage device faults
+        if os.environ.get("GSL_DUMP_STATE_AT") == str(it):
+            g = state.gaussians
+            np.savez(os.environ.get("GSL_DUMP_STATE_TO",
+                                    "/tmp/gsl_state.npz"),
+                     xyz=np.asarray(g.xyz),
+                     features_dc=np.asarray(g.features_dc),
+                     features_rest=np.asarray(g.features_rest),
+                     scaling=np.asarray(g.scaling),
+                     rotation=np.asarray(g.rotation),
+                     opacity=np.asarray(g.opacity),
+                     live=np.asarray(g.live))
+            log_fn(f"[{it}] dumped state")
+
         if it % cfg.opacity_reset_interval == 0:
             g2, opt2 = reset_opacity(state.gaussians, state.opt_state)
             state = state.replace(gaussians=g2, opt_state=opt2)
