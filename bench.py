@@ -25,17 +25,25 @@ Measured configurations (VERDICT r2 #1):
 
 Capacity honesty: the stream rasterizer (r3) never truncates tiles — its
 only capacities are the slow-pair pool and the materialized stream
-(``max_render``), both ASSERTED un-overflowed here. The pose-mode path
-still uses the legacy (T, cap) pair pack; its cap of 768 >= the true
-max_tile_count (780 pre-cull, less after the opacity-aware radius) is
-asserted via its own overflow flag.
+(``max_render``), both ASSERTED un-overflowed here. Since r4 the pose-mode
+path runs on the SAME uncapped stream layout (raster/pose_mode.py
+StreamPairPack), so there is no per-tile cap anywhere in the measured
+configurations; the legacy (T, cap) layout survives only in the roofline
+section below, where its cap is sized AT RUN TIME from the probed
+max_tile_count (the r3 bench died on a hardcoded cap sized against the
+wrong scene — VERDICT r3 weak #1).
 
 ``vs_baseline``: measured Mpix/s over the analytic speed-of-light Mpix/s
 for the same per-iteration blend work (full-capacity walk; fraction of
 roofline, 1.0 = speed of light). BASELINE.json publishes no reference
 numbers (BASELINE.md), so the bar is the hardware bound, not a guess.
+
+Environment accounting (VERDICT r3 weak #6): the JSON carries the
+measured dispatch+fetch floor and whether the persistent compile cache
+was warm, so cross-round numbers are comparable.
 """
 
+import glob
 import json
 import os
 import sys
@@ -43,7 +51,6 @@ import time
 
 import numpy as np
 
-CAP = 768          # pose-mode pair-pack cap (legacy layout; multiple of 256)
 MAX_PAIRS = 1 << 19  # slow-pair pool >= true slow pairs (~377k)
 MAX_RENDER = 1 << 19  # materialized stream >= 470k kept pairs
 CHUNK = 256
@@ -96,9 +103,10 @@ def main() -> None:
 
     # persistent compilation cache: the tunneled remote compiler takes
     # minutes per binning graph; warm runs skip it entirely
+    cache_dir = os.path.expanduser("~/.cache/jax_bench")
+    cache_entries = len(glob.glob(os.path.join(cache_dir, "*")))
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_bench"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -115,7 +123,7 @@ def main() -> None:
     cam = Camera.from_rt(np.eye(3), np.zeros(3), 520.0, 520.0, W, H)
     on_tpu = jax.default_backend() == "tpu"
     cfg = RasterizerConfig(
-        max_pairs=MAX_PAIRS, max_per_tile=CAP, max_render=MAX_RENDER,
+        max_pairs=MAX_PAIRS, max_per_tile=1024, max_render=MAX_RENDER,
         fast_k=1, backend="pallas" if on_tpu else "jnp", pallas_chunk=CHUNK,
     )
     gt_img = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
@@ -132,12 +140,17 @@ def main() -> None:
         f"stream truncated at max_render={MAX_RENDER} — the bench would "
         "measure a truncated render; raise MAX_RENDER")
     assert not pair_ovf, f"pair overflow at max_pairs={MAX_PAIRS}"
+    # legacy (T, cap) layout appears ONLY in the roofline section below;
+    # size its cap from the probed true max tile count, never a constant
+    cap = max(256, -(-mtc // 256) * 256)
+    cfg = cfg.replace(max_per_tile=cap)
     if on_tpu:
-        from gs_localization_tpu.raster.pose_mode import build_pair_pack
-        ppack = jax.jit(lambda: build_pair_pack(g, cam, cfg))()
+        from gs_localization_tpu.raster.pose_mode import (
+            build_stream_pair_pack)
+        ppack = jax.jit(lambda: build_stream_pair_pack(g, cam, cfg))()
         assert not bool(ppack.overflow), (
-            f"pose-mode pair pack truncated at cap={CAP} "
-            f"(max_tile_count={mtc})")
+            "pose-mode stream pack overflow (slow pool or stream capacity)"
+            f" at max_pairs={MAX_PAIRS}, max_render={MAX_RENDER}")
 
     def run_refine(tcfg):
         fn = jax.jit(lambda cam_: refine_pose(
@@ -193,7 +206,7 @@ def main() -> None:
 
     prep = jax.jit(lambda: preprocess(g, cam, tile_size=ts))()
     lbins = jax.jit(lambda: B.bin_gaussians(
-        prep, gx, -(-H // ts), MAX_PAIRS, CAP, fast_k=0))()
+        prep, gx, -(-H // ts), MAX_PAIRS, cap, fast_k=0))()
     pack = jnp.stack(
         [prep.means2d[:, 0], prep.means2d[:, 1],
          prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
@@ -220,11 +233,11 @@ def main() -> None:
 
     # analytic speed-of-light for the full-capacity fwd+bwd walk
     PEAK_MXU_F32, PEAK_VPU, PEAK_HBM = 65e12, 4e12, 819e9
-    n_chunks = CAP // CHUNK
+    n_chunks = cap // CHUNK
     mxu = T * n_chunks * (3 * 2 * npix * CHUNK * CHUNK
                           + 3 * 2 * 4 * npix * CHUNK)
     vpu = T * n_chunks * (85 * npix * CHUNK)
-    byts = T * 12 * CAP * 4 * 3 + T * npix * 7 * 4 * 2
+    byts = T * 12 * cap * 4 * 3 + T * npix * 7 * 4 * 2
     sol_fb_s = max(mxu / PEAK_MXU_F32, vpu / PEAK_VPU, byts / PEAK_HBM)
     roofline_pct = 100.0 * sol_fb_s / max(bf_dt, 1e-9)
     sol_mpix = mpix / sol_fb_s
@@ -242,7 +255,10 @@ def main() -> None:
         "tile_overflow": tile_ovf,
         "pair_overflow": pair_ovf,
         "max_tile_count": mtc,
-        "max_per_tile": CAP,
+        "legacy_roofline_cap": cap,
+        "dispatch_floor_ms": round(floor * 1e3, 2),
+        "compile_cache": "warm" if cache_entries else "cold",
+        "backend": jax.default_backend(),
     }))
 
 

@@ -102,10 +102,19 @@ def refine_pose(
     from ..raster.rasterize import compute_bins
 
     if cfg.pose_mode:
-        from ..raster.pose_mode import build_pair_pack, render_pose_mode
+        from ..raster.rasterize import _blend_mode
+        from ..raster.pose_mode import (
+            build_pair_pack, build_stream_pair_pack, render_pose_mode)
 
-        def make_bins(cam):
-            return build_pair_pack(gaussians, cam, raster_cfg)
+        # pallas backends take the UNCAPPED stream layout (no max_per_tile,
+        # no truncation-retry: the r3 bench crash class is structurally
+        # gone); the jnp twin keeps the legacy capped pack
+        if _blend_mode(raster_cfg.backend) in ("pallas", "pallas_interpret"):
+            def make_bins(cam):
+                return build_stream_pair_pack(gaussians, cam, raster_cfg)
+        else:
+            def make_bins(cam):
+                return build_pair_pack(gaussians, cam, raster_cfg)
 
         def bins_overflow(pack):
             return pack.overflow

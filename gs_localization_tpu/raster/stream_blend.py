@@ -416,6 +416,72 @@ def _make_stream_core(num_tiles: int, grid_x: int, ts: int, chunk: int,
     return core
 
 
+@functools.lru_cache(maxsize=32)
+def _make_stream_direct_core(num_tiles: int, grid_x: int, ts: int,
+                             chunk: int, mrpad: int, interpret: bool):
+    """custom_vjp over a PRE-ASSEMBLED stream (16, mrpad).
+
+    The Gaussian-path core above reduces the per-pair grad stream back to
+    per-Gaussian rows (slot reduction). Pose mode doesn't need that: the
+    stream rows are produced by an elementwise projection of pose-
+    independent params (pose_mode._project_stream), so the cotangent of the
+    stream itself is enough — JAX chains it through the projection to the
+    6-dim camera tangent with no scatter/gather at all.
+    """
+    fwd_call, bwd_call = _make_stream_calls(num_tiles, grid_x, ts, chunk,
+                                            mrpad, interpret)
+
+    @jax.custom_vjp
+    def core(stream_t, tstart, wcount, kept_al):
+        accum, logt, _ = fwd_call(tstart, wcount, stream_t)
+        return accum, logt
+
+    def core_fwd(stream_t, tstart, wcount, kept_al):
+        accum, logt, resid = fwd_call(tstart, wcount, stream_t)
+        return (accum, logt), (stream_t, resid, tstart, wcount, kept_al)
+
+    def core_bwd(res, cotangents):
+        stream_t, resid, tstart, wcount, kept_al = res
+        gacc, glogt = cotangents
+        dstream_t = bwd_call(tstart, wcount, stream_t, gacc, glogt, resid)
+        # positions past the live aligned stream are never DMA-written by
+        # the backward kernel (uninitialized HBM) — mask before the
+        # projection VJP reads them
+        pos_ok = jnp.arange(mrpad, dtype=jnp.int32) < kept_al
+        dstream_t = jnp.where(pos_ok[None, :], dstream_t, 0.0)
+        z = lambda shape: np.zeros(shape, jax.dtypes.float0)
+        return (dstream_t, z((num_tiles,)), z((num_tiles,)), z(()))
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def blend_stream_direct(
+    stream_t: jnp.ndarray,    # (16, MR_AL+chunk) pre-assembled stream rows
+    tstart: jnp.ndarray,      # (num_tiles,) aligned tile starts
+    walk_counts: jnp.ndarray,  # (num_tiles,)
+    kept_al: jnp.ndarray,     # () live aligned-stream length
+    grid_x: int,
+    tile_size: int,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> TileBlendOut:
+    """Blend a pre-assembled pair stream; grads flow to the stream rows.
+
+    Requires the stream's alignment to equal ``chunk`` (bin_stream
+    align=chunk): the backward writes whole chunks at aligned offsets, so
+    chunk-aligned windows guarantee every live position is written.
+    """
+    num_tiles = tstart.shape[0]
+    mrpad = stream_t.shape[1]
+    core = _make_stream_direct_core(num_tiles, grid_x, tile_size, chunk,
+                                    mrpad, interpret)
+    accum, logt = core(stream_t, tstart, walk_counts, kept_al)
+    color = jnp.moveaxis(accum[:, 0:3, :], 1, 2)          # (T, npix, 3)
+    depth = accum[:, 3, :]
+    return TileBlendOut(color=color, depth=depth, log_t=logt[:, :, 0])
+
+
 def blend_stream_pallas(
     pack: jnp.ndarray,        # (P, 12) per-Gaussian rows (original order)
     sbins: StreamBins,
