@@ -32,10 +32,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .preprocess import Preprocessed
 
-INT32_MAX = jnp.int32(2**31 - 1)
+# numpy scalar, NOT jnp: a module-level jnp constant initializes the JAX
+# backend at import time, which breaks multi-host bring-up (the runtime
+# must call jax.distributed.initialize before any backend touch —
+# parallel/runtime.py)
+INT32_MAX = np.int32(2**31 - 1)
 
 
 class Binning(NamedTuple):
