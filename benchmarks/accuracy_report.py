@@ -15,8 +15,9 @@ COLMAP model WITHOUT points3D), then the real 4-stage CLI runs end to end:
 prepare -> sfm (triangulated points + NetVLAD-style retrieval + PnP) ->
 train (map from SfM points) -> localize (PnP init + refinement).
 
-Usage:
-  PYTHONPATH=/root/repo:tests python benchmarks/accuracy_report.py \
+Usage (the script inserts repo + tests into sys.path itself; do NOT
+override PYTHONPATH — the default env's PYTHONPATH loads the TPU plugin):
+  python benchmarks/accuracy_report.py \
       [--size 160 120] [--iters 1200] [--world 2500] [--train 24]
       [--test 8] [--report RESULTS.md] [--keep DIR]
 """

@@ -72,6 +72,57 @@ def _load_scene(args):
     )
 
 
+def _build_frontend(args, cfg):
+    """(extractor, sparse_matcher, global_desc_fn) from the CLI flags.
+
+    --weights-dir lights up the reference's learned front end (SuperPoint
+    + SuperGlue + NetVLAD) from user-supplied official checkpoints
+    (WEIGHTS.md manifest); whatever files are absent fall back to the
+    self-contained classical path (Harris/SIFT + mutual-NN + tiny-image
+    retrieval)."""
+    import jax.numpy as jnp
+
+    extractor = None
+    if args.extractor == "sift":
+        from ..sfm.sift import extract_sift
+        from ..sfm.features import rgb_to_gray
+
+        extractor = lambda img: extract_sift(   # noqa: E731
+            rgb_to_gray(jnp.asarray(img)), num_keypoints=cfg.num_keypoints)
+    sparse_matcher = None
+    global_desc_fn = None
+    if args.weights_dir:
+        from ..sfm import weights as weights_lib
+        from ..sfm.registry import get_extractor, get_matcher
+
+        def path_of(name):
+            return os.path.join(args.weights_dir,
+                                weights_lib.MANIFEST[name].file)
+
+        if os.path.exists(path_of("superpoint")):
+            sp = weights_lib.load("superpoint", path_of("superpoint"))
+            extractor = get_extractor("superpoint_aachen", params=sp,
+                                      num_keypoints=cfg.num_keypoints)
+            print("weights: superpoint extractor enabled")
+            if os.path.exists(path_of("superglue_outdoor")):
+                sg = weights_lib.load("superglue_outdoor",
+                                      path_of("superglue_outdoor"))
+                matcher = get_matcher("superglue-fast", params=sg)
+                # capture the frame size (constant per scene) for keypoint
+                # normalization; feats carry no image size
+                def sparse_matcher(f0, f1, _m=matcher, _a=args):
+                    w, h = _a._frame_size
+                    return _m(f0, f1, (w, h), (w, h))
+                print("weights: superglue matcher enabled (sinkhorn 5)")
+        if os.path.exists(path_of("netvlad")):
+            from ..sfm.netvlad import load_netvlad_mat, netvlad_descriptor
+            nv = load_netvlad_mat(path_of("netvlad"))
+            global_desc_fn = lambda img: netvlad_descriptor(  # noqa: E731
+                nv, jnp.asarray(img))
+            print("weights: netvlad retrieval enabled")
+    return extractor, sparse_matcher, global_desc_fn
+
+
 def stage_sfm(args) -> None:
     import jax.numpy as jnp
 
@@ -83,14 +134,11 @@ def stage_sfm(args) -> None:
 
     scene = _load_scene(args)
     cfg = SfmInitConfig()
-    extractor = None
-    if args.extractor == "sift":
-        from ..sfm.sift import extract_sift
-        from ..sfm.features import rgb_to_gray
-
-        extractor = lambda img: extract_sift(   # noqa: E731
-            rgb_to_gray(jnp.asarray(img)), num_keypoints=cfg.num_keypoints)
+    extractor, sparse_matcher, global_desc_fn = _build_frontend(args, cfg)
     imgs = [load_image(c.image_path) for c in scene.train_cameras]
+    # frame size for learned matchers' keypoint normalization (constant
+    # per scene; consumed by the --weights-dir sparse_matcher closure)
+    args._frame_size = (imgs[0].shape[1], imgs[0].shape[0])
     deps = None
     if args.use_depth:
         deps = [load_depth(c.depth_path) if c.depth_path and
@@ -98,7 +146,9 @@ def stage_sfm(args) -> None:
                 np.zeros(imgs[i].shape[:2], np.float32)
                 for i, c in enumerate(scene.train_cameras)]
     mapped = build_point_model(imgs, [c.camera for c in scene.train_cameras],
-                               cfg, depth_maps=deps, extractor=extractor)
+                               cfg, depth_maps=deps, extractor=extractor,
+                               sparse_matcher=sparse_matcher,
+                               global_desc_fn=global_desc_fn)
     poses = {}
     for q in scene.test_cameras:
         qimg = load_image(q.image_path)
@@ -107,7 +157,8 @@ def stage_sfm(args) -> None:
                       [0, float(cam.fy), float(cam.cy)], [0, 0, 1.0]])
         qvec, tvec, info = localize_query_pnp(
             qimg, K, mapped, [c.camera for c in scene.train_cameras], cfg,
-            extractor=extractor)
+            extractor=extractor, sparse_matcher=sparse_matcher,
+            global_desc_fn=global_desc_fn)
         poses[q.name] = (qvec, tvec)
         print(f"{q.name}: {info['method']} ({info.get('num_inliers', 0)} inl)")
     out = os.path.join(args.out, "results_dense.txt")
@@ -232,7 +283,14 @@ def main(argv=None) -> None:
     ap.add_argument("--max-per-tile", type=int, default=1024)
     ap.add_argument("--extractor", default="harris",
                     choices=("harris", "sift"),
-                    help="SfM front-end features (sift = DoG+rootSIFT)")
+                    help="SfM front-end features (sift = DoG+rootSIFT); "
+                         "--weights-dir upgrades to SuperPoint when "
+                         "superpoint_v1.pth is present")
+    ap.add_argument("--weights-dir", default=None,
+                    help="directory of official checkpoints (WEIGHTS.md): "
+                         "enables SuperPoint/SuperGlue/NetVLAD for the sfm "
+                         "stage; absent files fall back to the classical "
+                         "front end")
     args = ap.parse_args(argv)
     if args.out is None:
         args.out = os.path.join(args.scene, "output_tpu")

@@ -81,6 +81,7 @@ def build_point_model(
     extractor: Optional[Callable] = None,
     global_desc_fn: Optional[Callable] = None,
     dense_matcher: Optional[Callable] = None,
+    sparse_matcher: Optional[Callable] = None,
     log_fn: Callable[[str], None] = print,
 ) -> MappedScene:
     """``global_desc_fn`` swaps the retrieval backend: default is the native
@@ -92,7 +93,13 @@ def build_point_model(
     switches mapping to the dense path (reference match_dense.py 'loftr'
     conf family): per-pair semi-dense correspondences are quantized into
     shared per-image keypoints (sfm/match_dense.py) before track building —
-    pass e.g. ``lambda a, b: loftr_match(params, gray(a), gray(b))``."""
+    pass e.g. ``lambda a, b: loftr_match(params, gray(a), gray(b))``.
+
+    ``sparse_matcher(feats0, feats1) -> result with .matches0`` replaces
+    the default mutual-NN descriptor matching with a learned matcher —
+    e.g. registry ``get_matcher('superglue', params=sg)`` wrapped to
+    capture the image shape (see pipelines/run_scene.py --weights-dir;
+    WEIGHTS.md)."""
     n = len(images)
     if extractor is None:
         extractor = lambda img: extract_harris_features(
@@ -144,9 +151,13 @@ def build_point_model(
         feats = [extractor(img) for img in images]
         log_fn(f"extracted features for {n} mapping images")
         for (a, b) in pair_idx:
-            m = match_mutual_nn(feats[a].descriptors, feats[b].descriptors,
-                                feats[a].scores > 0, feats[b].scores > 0,
-                                ratio_thresh=cfg.ratio_thresh)
+            if sparse_matcher is not None:
+                m = sparse_matcher(feats[a], feats[b])
+            else:
+                m = match_mutual_nn(
+                    feats[a].descriptors, feats[b].descriptors,
+                    feats[a].scores > 0, feats[b].scores > 0,
+                    ratio_thresh=cfg.ratio_thresh)
             mi = np.asarray(m.matches0)
             ok = mi >= 0
             if ok.sum() < 8:
@@ -208,6 +219,7 @@ def localize_query_pnp(
     cfg: SfmInitConfig = SfmInitConfig(),
     extractor: Optional[Callable] = None,
     global_desc_fn: Optional[Callable] = None,
+    sparse_matcher: Optional[Callable] = None,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, dict]:
     """Initial pose for one query: retrieval -> 2D-3D matches -> PnP.
@@ -237,9 +249,12 @@ def localize_query_pnp(
         if j not in obs_of:
             continue
         f_j = mapped.features[j]
-        m = match_mutual_nn(qf.descriptors, f_j.descriptors,
-                            qf.scores > 0, f_j.scores > 0,
-                            ratio_thresh=cfg.ratio_thresh)
+        if sparse_matcher is not None:
+            m = sparse_matcher(qf, f_j)
+        else:
+            m = match_mutual_nn(qf.descriptors, f_j.descriptors,
+                                qf.scores > 0, f_j.scores > 0,
+                                ratio_thresh=cfg.ratio_thresh)
         mi = np.asarray(m.matches0)
         # kp index in j -> track id
         kp_to_track = {}
