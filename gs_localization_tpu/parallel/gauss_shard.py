@@ -72,7 +72,7 @@ def _blend_full(prep_full: Preprocessed, camera: Camera,
     grid_y = -(-camera.height // ts)
     bins = binning_lib.bin_gaussians(
         prep_full, grid_x, grid_y, config.max_pairs, config.max_per_tile,
-        fast_k=config.fast_k,
+        fast_k=config.fast_k, tile_size=ts, tile_cull=config.tile_cull,
     )
     out = blend_lib.blend_tiles(
         bins.tile_gid, bins.tile_mask, prep_full.means2d, prep_full.conic,

@@ -57,7 +57,8 @@ def rasterize_tile_sharded(
     prep = preprocess(gaussians, camera, tile_size=ts,
                       scale_modifier=config.scale_modifier)
     bins = binning_lib.bin_gaussians(
-        prep, grid_x, grid_y, config.max_pairs, config.max_per_tile)
+        prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
+        tile_size=ts, tile_cull=config.tile_cull)
 
     pix = blend_lib.tile_pixel_coords(grid_x, grid_y, ts)  # global coords
 

@@ -42,6 +42,61 @@ from .preprocess import Preprocessed
 # parallel/runtime.py)
 INT32_MAX = np.int32(2**31 - 1)
 
+# must equal blend.ALPHA_MIN (not imported: blend pulls in kernel deps).
+# Every blend kernel zeroes contributions with alpha < this, so dropping
+# (gaussian, tile) pairs whose MAX alpha over the tile is below it leaves
+# the rendered images exact (identical up to fp summation order: removing
+# zero-contribution pairs shifts chunk boundaries, ~1e-7 reassociation).
+_ALPHA_MIN = 1.0 / 255.0
+
+
+def _tile_qmin(mx, my, ca, cb, cc, tx, ty, tile_size: int):
+    """Exact min of the conic quadratic q(d) = a dx^2 + 2b dxdy + c dy^2
+    over tile (tx, ty)'s pixel-center box, elementwise.
+
+    The kernels evaluate alpha = opa * exp(-q/2) at integer pixel coords
+    [tx*ts, tx*ts+ts-1] x [ty*ts, ...]; q is convex (PD conic), so its box
+    minimum is 0 if the mean lies inside, else attained on one of the four
+    edges, each a 1-D quadratic minimized in closed form with clamping.
+    Tighter than the lambda_min ball bound exactly where it matters —
+    anisotropic splats whose rect is mostly empty corners.
+    """
+    xlo = tx * tile_size - mx
+    xhi = xlo + (tile_size - 1)
+    ylo = ty * tile_size - my
+    yhi = ylo + (tile_size - 1)
+    inside = (xlo <= 0) & (0 <= xhi) & (ylo <= 0) & (0 <= yhi)
+    a_s = jnp.maximum(ca, 1e-12)
+    c_s = jnp.maximum(cc, 1e-12)
+
+    def edge_x(e):
+        ys = jnp.clip(-cb * e / c_s, ylo, yhi)
+        return ca * e * e + 2.0 * cb * e * ys + cc * ys * ys
+
+    def edge_y(e):
+        xs = jnp.clip(-cb * e / a_s, xlo, xhi)
+        return ca * xs * xs + 2.0 * cb * xs * e + cc * e * e
+
+    q = jnp.minimum(jnp.minimum(edge_x(xlo), edge_x(xhi)),
+                    jnp.minimum(edge_y(ylo), edge_y(yhi)))
+    return jnp.where(inside, 0.0, q)
+
+
+def _cull_table(prep: Preprocessed) -> jnp.ndarray:
+    """(P, 10) float32 per-Gaussian row for ONE packed binning gather:
+    [x0, y0, x1, y1, mx, my, conic a, b, c, qmax] where qmax is the cull
+    threshold: a tile survives iff qmin(tile) <= qmax, i.e. max alpha in
+    the tile >= ALPHA_MIN. Rect/start values stay exact in f32 (< 2^24).
+    """
+    op = prep.opacity
+    qmax = jnp.where(op > _ALPHA_MIN, 2.0 * jnp.log(op * 255.0),
+                     jnp.float32(-1.0))
+    return jnp.concatenate(
+        [prep.rect.astype(jnp.float32),
+         prep.means2d,
+         prep.conic,
+         qmax[:, None]], axis=1)
+
 
 class Binning(NamedTuple):
     tile_gid: jnp.ndarray     # (num_tiles, max_per_tile) int32 gaussian ids
@@ -108,6 +163,88 @@ class StreamBins(NamedTuple):
     max_tile_count: jnp.ndarray  # () int32
 
 
+def _emit_pair_keys(prep: Preprocessed, order: jnp.ndarray, grid_x: int,
+                    grid_y: int, rank_size: int, max_pairs: int,
+                    fast_k: int, tile_size: int, tile_cull: bool):
+    """Shared pair-key emission for both binning layouts.
+
+    Returns (keys, starts, total_slow, touched_s): packed int32 keys
+    ``tile * rank_size + depth_rank`` (sentinel = dead/culled), the
+    slow-path segment bounds, the true slow-pair count, and per-rank
+    rect tile counts. ``tile_cull`` drops pairs whose max alpha over the
+    tile is < ALPHA_MIN (exact w.r.t. the blend kernels' gate; typically
+    20-40% of rect pairs are empty corner tiles). Capacity consumption
+    (``starts``/``total_slow``) stays rect-based — the cull shrinks the
+    LIVE pair count (kept stream, per-tile walks), not the static pools.
+    """
+    p = prep.depths.shape[0]
+    num_tiles = grid_x * grid_y
+    ctab = _cull_table(prep)[order]          # ONE packed row gather (P, 10)
+    # defensive clamp: a rect can never legitimately touch more than the
+    # whole grid; garbage here would overflow the cumsums below and turn
+    # into out-of-bounds DMA offsets in the stream kernels
+    touched_s = jnp.clip(prep.tiles_touched[order], 0, num_tiles)
+    x0 = ctab[:, 0].astype(jnp.int32)
+    y0 = ctab[:, 1].astype(jnp.int32)
+    w_s = jnp.maximum(ctab[:, 2].astype(jnp.int32) - x0, 1)
+    sentinel = jnp.int32(num_tiles * rank_size)
+
+    if fast_k > 0:
+        k_idx = jnp.arange(fast_k, dtype=jnp.int32)[None, :]
+        tile_x = x0[:, None] + k_idx % w_s[:, None]
+        tile_y = y0[:, None] + k_idx // w_s[:, None]
+        tile_fast = tile_y * grid_x + tile_x
+        is_fast = touched_s <= fast_k
+        ok_fast = is_fast[:, None] & (k_idx < touched_s[:, None])
+        ok_fast = ok_fast & (tile_fast >= 0) & (tile_fast < num_tiles)
+        if tile_cull:
+            qf = _tile_qmin(ctab[:, 4:5], ctab[:, 5:6], ctab[:, 6:7],
+                            ctab[:, 7:8], ctab[:, 8:9],
+                            tile_x.astype(jnp.float32),
+                            tile_y.astype(jnp.float32), tile_size)
+            ok_fast = ok_fast & (qf <= ctab[:, 9:10])
+        rank = jnp.arange(p, dtype=jnp.int32)[:, None]
+        key_fast = jnp.where(ok_fast, tile_fast * rank_size + rank, sentinel)
+    else:
+        is_fast = jnp.zeros((p,), bool)
+        key_fast = jnp.zeros((0,), jnp.int32)
+
+    touched_slow = jnp.where(is_fast, 0, touched_s)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(touched_slow, dtype=jnp.int32)]
+    )
+    total_slow = starts[-1]
+    pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
+    pair_ok = pair_idx < jnp.minimum(total_slow, max_pairs)
+    mark = jnp.zeros((max_pairs,), jnp.int32).at[starts[:p]].max(
+        jnp.arange(p, dtype=jnp.int32), mode="drop"
+    )
+    gsrt = jax.lax.associative_scan(jnp.maximum, mark)
+    # starts fit f32 exactly below 2^24; the packed-gather win (~4x vs
+    # per-field gathers on v5e) requires one dtype
+    assert max_pairs < 2**24, "slow pool too large for the f32-packed table"
+    table = jnp.concatenate(
+        [ctab[:, 0:2], w_s.astype(jnp.float32)[:, None],
+         starts[:p].astype(jnp.float32)[:, None], ctab[:, 4:10]], axis=1)
+    rows = table[gsrt]                       # ONE packed row gather (MP, 10)
+    local = pair_idx - rows[:, 3].astype(jnp.int32)
+    w_g = rows[:, 2].astype(jnp.int32)
+    tx = rows[:, 0].astype(jnp.int32) + local % w_g
+    ty = rows[:, 1].astype(jnp.int32) + local // w_g
+    tile_slow = ty * grid_x + tx
+    ok_slow = pair_ok & (tile_slow >= 0) & (tile_slow < num_tiles)
+    if tile_cull:
+        qs = _tile_qmin(rows[:, 4], rows[:, 5], rows[:, 6], rows[:, 7],
+                        rows[:, 8], tx.astype(jnp.float32),
+                        ty.astype(jnp.float32), tile_size)
+        ok_slow = ok_slow & (qs <= rows[:, 9])
+    key_slow = jnp.where(ok_slow, tile_slow * rank_size + gsrt, sentinel)
+    keys = (jnp.concatenate([key_fast.reshape(-1), key_slow])
+            if fast_k > 0 else key_slow)
+    return keys, starts, total_slow, touched_s
+
+
 def bin_stream(
     prep: Preprocessed,
     grid_x: int,
@@ -116,6 +253,8 @@ def bin_stream(
     max_render: int,
     fast_k: int = 1,
     align: int = 256,
+    tile_size: int = 16,
+    tile_cull: bool = True,
 ) -> StreamBins:
     """Depth-sorted tile binning as a pair stream (see StreamBins).
 
@@ -135,48 +274,9 @@ def bin_stream(
         INT32_MAX,
     )
     order = jnp.argsort(depth_key).astype(jnp.int32)
-    rect_s = prep.rect[order]                            # row gather (P, 4)
-    # defensive clamp: a rect can never legitimately touch more than the
-    # whole grid; garbage here would overflow the cumsums below and turn
-    # into out-of-bounds DMA offsets in the stream kernels
-    touched_s = jnp.clip(prep.tiles_touched[order], 0, num_tiles)
-    w_s = jnp.maximum(rect_s[:, 2] - rect_s[:, 0], 1)
-
-    sentinel = jnp.int32(num_tiles * rank_size)
-    k_idx = jnp.arange(fast_k, dtype=jnp.int32)[None, :]
-    tile_x = rect_s[:, 0:1] + k_idx % w_s[:, None]
-    tile_y = rect_s[:, 1:2] + k_idx // w_s[:, None]
-    tile_fast = tile_y * grid_x + tile_x
-    is_fast = touched_s <= fast_k
-    ok_fast = is_fast[:, None] & (k_idx < touched_s[:, None])
-    ok_fast = ok_fast & (tile_fast >= 0) & (tile_fast < num_tiles)
-    rank = jnp.arange(p, dtype=jnp.int32)[:, None]
-    key_fast = jnp.where(ok_fast, tile_fast * rank_size + rank, sentinel)
-
-    touched_slow = jnp.where(is_fast, 0, touched_s)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(touched_slow, dtype=jnp.int32)]
-    )
-    total_slow = starts[-1]
-    pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
-    pair_ok = pair_idx < jnp.minimum(total_slow, max_pairs)
-    mark = jnp.zeros((max_pairs,), jnp.int32).at[starts[:p]].max(
-        jnp.arange(p, dtype=jnp.int32), mode="drop"
-    )
-    gsrt = jax.lax.associative_scan(jnp.maximum, mark)
-    table = jnp.stack([rect_s[:, 0], rect_s[:, 1], w_s, starts[:p]], axis=1)
-    rows = table[gsrt]                                   # row gather (MP, 4)
-    local = pair_idx - rows[:, 3]
-    w_g = rows[:, 2]
-    tx = rows[:, 0] + local % w_g
-    ty = rows[:, 1] + local // w_g
-    tile_slow = ty * grid_x + tx
-    key_slow = jnp.where(
-        pair_ok & (tile_slow >= 0) & (tile_slow < num_tiles),
-        tile_slow * rank_size + gsrt, sentinel
-    )
-
-    keys = jnp.concatenate([key_fast.reshape(-1), key_slow])
+    keys, starts, total_slow, touched_s = _emit_pair_keys(
+        prep, order, grid_x, grid_y, rank_size, max_pairs, fast_k,
+        tile_size, tile_cull)
     s = keys.shape[0]
     mr = min((max_render // align) * align, (s // align) * align)
     mr_al = mr + num_tiles * align        # aligned stream capacity
@@ -255,6 +355,8 @@ def bin_gaussians(
     max_pairs: int,
     max_per_tile: int,
     fast_k: int = 8,
+    tile_size: int = 16,
+    tile_cull: bool = True,
 ) -> Binning:
     p = prep.depths.shape[0]
     num_tiles = grid_x * grid_y
@@ -263,7 +365,6 @@ def bin_gaussians(
     assert (num_tiles + 1) * rank_size < 2**31, (
         f"packed sort key overflow: {num_tiles} tiles x {rank_size} rank "
         "slots — reduce P per shard or use a larger tile size")
-    max_pairs_slow = max_pairs
 
     # ---- 1. global depth order (invalid sink to the back) -----------
     depth_key = jnp.where(
@@ -272,54 +373,14 @@ def bin_gaussians(
         INT32_MAX,
     )
     order = jnp.argsort(depth_key).astype(jnp.int32)     # stable
-    rect_s = prep.rect[order]                            # (P, 4)
-    touched_s = prep.tiles_touched[order]
-    w_s = jnp.maximum(rect_s[:, 2] - rect_s[:, 0], 1)
 
-    # ---- 2a. fast path: offset-major expansion ----------------------
-    # fast_k == 0 disables it (pure scan path — better when mean pair
-    # multiplicity is high and P*fast_k would exceed the true pair count)
-    sentinel = jnp.int32(num_tiles * rank_size)
-    if fast_k > 0:
-        k_idx = jnp.arange(fast_k, dtype=jnp.int32)[None, :]      # (1, K)
-        tile_x = rect_s[:, 0:1] + k_idx % w_s[:, None]
-        tile_y = rect_s[:, 1:2] + k_idx // w_s[:, None]
-        tile_fast = tile_y * grid_x + tile_x                       # (P, K)
-        is_fast = touched_s <= fast_k
-        ok_fast = is_fast[:, None] & (k_idx < touched_s[:, None])
-        rank = jnp.arange(p, dtype=jnp.int32)[:, None]
-        key_fast = jnp.where(ok_fast, tile_fast * rank_size + rank, sentinel)
-    else:
-        is_fast = jnp.zeros((p,), bool)
-        key_fast = jnp.zeros((0,), jnp.int32)
-
-    # ---- 2b. slow path: scan-based expansion for big rects ----------
-    touched_slow = jnp.where(is_fast, 0, touched_s)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(touched_slow, dtype=jnp.int32)]
-    )
-    total_slow = starts[-1]
-    pair_idx = jnp.arange(max_pairs_slow, dtype=jnp.int32)
-    pair_ok = pair_idx < jnp.minimum(total_slow, max_pairs_slow)
-    mark = jnp.zeros((max_pairs_slow,), jnp.int32).at[starts[:p]].max(
-        jnp.arange(p, dtype=jnp.int32), mode="drop"
-    )
-    gsrt = jax.lax.associative_scan(jnp.maximum, mark)
-    # ONE packed row gather for the per-pair expansion data (separate
-    # per-field gathers cost ~4x on v5e)
-    table = jnp.stack([rect_s[:, 0], rect_s[:, 1], w_s, starts[:p]], axis=1)
-    rows = table[gsrt]                                  # (MP, 4)
-    local = pair_idx - rows[:, 3]
-    w_g = rows[:, 2]
-    tx = rows[:, 0] + local % w_g
-    ty = rows[:, 1] + local // w_g
-    key_slow = jnp.where(
-        pair_ok, (ty * grid_x + tx) * rank_size + gsrt, sentinel
-    )
+    # ---- 2. pair-key emission (fast offset-major + slow scan path,
+    #          per-tile opacity cull) ---------------------------------
+    keys, starts, total_slow, touched_s = _emit_pair_keys(
+        prep, order, grid_x, grid_y, rank_size, max_pairs, fast_k,
+        tile_size, tile_cull)
 
     # ---- 3. one packed int32 sort -----------------------------------
-    keys = (jnp.concatenate([key_fast.reshape(-1), key_slow])
-            if fast_k > 0 else key_slow)
     keys_sorted = jax.lax.sort(keys)
 
     # ---- 4. per-tile ranges -> padded index matrix ------------------
@@ -344,7 +405,7 @@ def bin_gaussians(
         tile_mask=tile_mask,
         tile_counts=jnp.minimum(tcount, max_per_tile),
         num_rendered=num_rendered,
-        overflow=total_slow > max_pairs_slow,
+        overflow=total_slow > max_pairs,
         tile_overflow=max_tile_count > max_per_tile,
         max_tile_count=max_tile_count,
     )

@@ -97,7 +97,7 @@ def build_pair_pack(
                       scale_modifier=config.scale_modifier)
     bins = binning_lib.bin_gaussians(
         prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
-        fast_k=config.fast_k)
+        fast_k=config.fast_k, tile_size=ts, tile_cull=config.tile_cull)
     cov3d = build_cov3d(gaussians.get_scaling, gaussians.get_rotation,
                         config.scale_modifier)
     zeros = jnp.zeros_like(prep.opacity)
@@ -239,7 +239,8 @@ def build_stream_pair_pack(
     sbins = binning_lib.bin_stream(
         prep, grid_x, grid_y, config.max_pairs,
         config.max_render or config.max_pairs,
-        fast_k=max(config.fast_k, 1), align=chunk)
+        fast_k=max(config.fast_k, 1), align=chunk,
+        tile_size=ts, tile_cull=config.tile_cull)
     cov3d = build_cov3d(gaussians.get_scaling, gaussians.get_rotation,
                         config.scale_modifier)
     pack = jnp.stack(

@@ -43,6 +43,10 @@ class RasterizerConfig:
     pallas_chunk: int = struct.field(pytree_node=False, default=256)
     backend: str = struct.field(pytree_node=False, default="auto")
     scale_modifier: float = struct.field(pytree_node=False, default=1.0)
+    # drop (gaussian, tile) pairs whose max alpha over the tile is below
+    # the blend kernels' 1/255 gate — exact images (up to fp summation
+    # order), ~20-40% fewer live pairs (binning._emit_pair_keys)
+    tile_cull: bool = struct.field(pytree_node=False, default=True)
 
 
 class RenderOutput(NamedTuple):
@@ -82,10 +86,11 @@ def compute_bins(
             prep, grid_x, grid_y, config.max_pairs,
             config.max_render or config.max_pairs,
             fast_k=max(config.fast_k, 1), align=config.pallas_chunk,
+            tile_size=ts, tile_cull=config.tile_cull,
         )
     return binning_lib.bin_gaussians(
         prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
-        fast_k=config.fast_k,
+        fast_k=config.fast_k, tile_size=ts, tile_cull=config.tile_cull,
     )
 
 
@@ -129,11 +134,13 @@ def rasterize(
                 prep, grid_x, grid_y, config.max_pairs,
                 config.max_render or config.max_pairs,
                 fast_k=max(config.fast_k, 1), align=config.pallas_chunk,
+                tile_size=ts, tile_cull=config.tile_cull,
             )
         else:
             bins = binning_lib.bin_gaussians(
                 prep, grid_x, grid_y, config.max_pairs, config.max_per_tile,
-                fast_k=config.fast_k,
+                fast_k=config.fast_k, tile_size=ts,
+                tile_cull=config.tile_cull,
             )
 
     if use_stream:
