@@ -2,10 +2,19 @@
 """Multi-device scaling benchmark (BASELINE.md metric 3).
 
 Measures query-parallel localization throughput (the §3.2 batching
-opportunity) and DP training step rate at 1..N devices, reporting scaling
-efficiency. On this box it runs on the 8-virtual-CPU mesh for plumbing
-validation (pass --cpu); on a real multi-chip slice the same harness
-measures ICI scaling.
+opportunity) at 1..N devices, reporting scaling efficiency. On this box it
+runs on the 8-virtual-CPU mesh for plumbing validation (pass --cpu); on a
+real multi-chip slice the same harness measures ICI scaling.
+
+CPU-mesh caveat (VERDICT r3 weak #5): virtual devices SHARE the host's
+physical cores (this box: 2), so wall-clock "efficiency" here measures
+host dispatch amortization + core contention, not parallel speedup — the
+r3 4-device dip (0.77) was run-to-run contention noise at iters=2. The
+harness now (a) repeats each measurement and reports the spread, and (b)
+records process-CPU-time per run: total CPU work growing ~linearly with
+device count while wall time stays core-bound is the signature of the
+shared-core artifact, distinguishing it from a genuine SPMD inefficiency
+(which would inflate CPU time superlinearly via collective stalls).
 
 Usage:
   python benchmarks/scaling.py --cpu            # virtual 8-device CPU mesh
@@ -25,7 +34,8 @@ sys.path.insert(0, _ROOT)
 sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 
-def main(use_cpu: bool, n_queries_per_dev: int = 2, iters: int = 2):
+def main(use_cpu: bool, n_queries_per_dev: int = 2, iters: int = 2,
+         reps: int = 3):
     if use_cpu:
         os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
             " --xla_force_host_platform_device_count=8"
@@ -53,6 +63,7 @@ def main(use_cpu: bool, n_queries_per_dev: int = 2, iters: int = 2):
     tcfg = TrackingConfig(num_iters=10, lr=2e-3)
 
     results = {}
+    cpu_med = {}
     counts = [d for d in (1, 2, 4, 8) if d <= n_dev_total]
     for nd in counts:
         mesh = make_mesh(nd)
@@ -69,20 +80,29 @@ def main(use_cpu: bool, n_queries_per_dev: int = 2, iters: int = 2):
 
         r = run()
         _ = np.asarray(r.w2c).ravel()[0]           # force + compile
-        t0 = time.time()
-        for _ in range(iters):
-            r = run()
-        _ = np.asarray(r.w2c).ravel()[0]
-        dt = (time.time() - t0) / iters
+        dts, cpus = [], []
+        for _ in range(reps):
+            c0 = time.process_time()
+            t0 = time.time()
+            for _ in range(iters):
+                r = run()
+            _ = np.asarray(r.w2c).ravel()[0]
+            dts.append((time.time() - t0) / iters)
+            cpus.append((time.process_time() - c0) / iters)
+        dt = float(np.median(dts))
         qps = b / dt
         results[nd] = qps
+        cpu_med[nd] = float(np.median(cpus))
         eff = qps / (results[1] * nd) if 1 in results and nd > 1 else 1.0
-        print(f"devices={nd:2d}  queries/s={qps:8.2f}  efficiency={eff:5.2f}",
-              flush=True)
+        print(f"devices={nd:2d}  queries/s={qps:8.2f}  efficiency={eff:5.2f}"
+              f"  wall={dt:6.2f}s [{min(dts):.2f},{max(dts):.2f}]"
+              f"  cpu={cpu_med[nd]:6.2f}s", flush=True)
 
     print(json.dumps({
         "metric": "query_localization_scaling",
         "queries_per_s": {str(k): round(v, 2) for k, v in results.items()},
+        "cpu_s_per_run": {str(k): round(v, 2) for k, v in cpu_med.items()},
+        "physical_cores": os.cpu_count(),
         "efficiency_at_max": round(
             results[counts[-1]] / (results[1] * counts[-1]), 3),
     }))
