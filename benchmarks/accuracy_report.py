@@ -197,6 +197,10 @@ def main(argv=None):
             "--iterations", str(args.iters),
             "--max-pairs", str(1 << 19), "--max-per-tile", "768",
             "--use-depth", "--out", out,
+            # legacy pregathered kernels: this scene's shape regime hits a
+            # stream-kernel runtime fault under the tunnel —
+            # KNOWN_ISSUES.md #1 (deterministic, fully triaged r4)
+            "--no-stream",
         ])
         metrics = json.load(open(os.path.join(out, "metrics.json")))
         it, ir = init_pose_errors(root, out)

@@ -109,7 +109,8 @@ def refine_pose(
         # pallas backends take the UNCAPPED stream layout (no max_per_tile,
         # no truncation-retry: the r3 bench crash class is structurally
         # gone); the jnp twin keeps the legacy capped pack
-        if _blend_mode(raster_cfg.backend) in ("pallas", "pallas_interpret"):
+        if (_blend_mode(raster_cfg.backend) in ("pallas", "pallas_interpret")
+                and raster_cfg.use_stream):
             def make_bins(cam):
                 return build_stream_pair_pack(gaussians, cam, raster_cfg)
         else:

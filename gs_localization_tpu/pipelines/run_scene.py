@@ -202,7 +202,8 @@ def stage_train(args) -> None:
             "mip360": presets.mip360_map_cfg}.get(
         args.preset, presets.seven_scenes_map_cfg)(scene.extent)
     rcfg = RasterizerConfig(max_pairs=args.max_pairs,
-                            max_per_tile=args.max_per_tile)
+                            max_per_tile=args.max_per_tile,
+                            use_stream=args.stream)
     train_map(scene, args.out, tcfg, mcfg, rcfg)
 
 
@@ -228,7 +229,8 @@ def stage_localize(args) -> None:
             "mip360": presets.mip360_localize}.get(
         args.preset, presets.seven_scenes_localize)()
     rcfg = RasterizerConfig(max_pairs=args.max_pairs,
-                            max_per_tile=args.max_per_tile)
+                            max_per_tile=args.max_per_tile,
+                            use_stream=args.stream)
     queries = []
     for q in scene.test_cameras:
         if q.name not in init:
@@ -280,6 +282,11 @@ def main(argv=None) -> None:
                     help="default: on for seven_scenes (RGB-D), off for "
                          "the monocular presets (cambridge/llff/mip360)")
     ap.add_argument("--max-pairs", type=int, default=1 << 21)
+    ap.add_argument("--stream", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="pallas stream-v2 rasterizer layout (default); "
+                         "--no-stream falls back to the legacy pregathered "
+                         "kernels (KNOWN_ISSUES.md #1)")
     ap.add_argument("--max-per-tile", type=int, default=1024)
     ap.add_argument("--extractor", default="harris",
                     choices=("harris", "sift"),

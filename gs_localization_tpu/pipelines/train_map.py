@@ -31,6 +31,16 @@ from ..mapping import (
 )
 from ..mapping.train import grow_capacity
 from ..mapping.losses import psnr
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("raster_cfg",))
+def _jit_render(gaussians, camera, raster_cfg):
+    """Eval/pseudo-view renders go through jit: eager Pallas dispatch can
+    fault the tunneled TPU runtime (see mapping/train.py train_step)."""
+    from ..raster import rasterize
+
+    return rasterize(gaussians, camera, raster_cfg)
 from ..raster import RasterizerConfig, rasterize
 
 
@@ -168,7 +178,7 @@ def train_map(
         if (pseudo_cams and it % cfg.sample_pseudo_interval == 0
                 and cfg.start_sample_pseudo < it < cfg.end_sample_pseudo):
             pseudo_cam = pseudo_cams[rng.integers(len(pseudo_cams))]
-            pv = rasterize(state.gaussians, pseudo_cam, raster_cfg)
+            pv = _jit_render(state.gaussians, pseudo_cam, raster_cfg)
             pseudo_view_depth = jnp.asarray(
                 depth_estimator(np.asarray(pv.color)))
 
@@ -269,7 +279,8 @@ def train_map(
             vals = []
             for tinfo in scene.test_cameras[:8]:
                 timg, _ = image_loader(tinfo)
-                out = rasterize(state.gaussians, tinfo.camera, raster_cfg)
+                out = _jit_render(state.gaussians, tinfo.camera,
+                                  raster_cfg)
                 vals.append(float(psnr(out.color, jnp.asarray(timg))))
             log_fn(f"[{it}] test PSNR {np.mean(vals):.2f}")
 

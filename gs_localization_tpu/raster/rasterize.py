@@ -47,6 +47,11 @@ class RasterizerConfig:
     # the blend kernels' 1/255 gate — exact images (up to fp summation
     # order), ~20-40% fewer live pairs (binning._emit_pair_keys)
     tile_cull: bool = struct.field(pytree_node=False, default=True)
+    # pallas backend layout: True = stream-v2 DMA windows (uncapped,
+    # fastest); False = legacy pregathered (T, cap) windows — the fallback
+    # for runtime faults tied to the stream kernels' manual DMA under the
+    # tunneled runtime (r4 accuracy-crash triage, KNOWN_ISSUES.md)
+    use_stream: bool = struct.field(pytree_node=False, default=True)
 
 
 class RenderOutput(NamedTuple):
@@ -81,7 +86,8 @@ def compute_bins(
     grid_y = -(-camera.height // ts)
     prep = preprocess(gaussians, camera, tile_size=ts,
                       scale_modifier=config.scale_modifier)
-    if _blend_mode(config.backend) in ("pallas", "pallas_interpret"):
+    if (_blend_mode(config.backend) in ("pallas", "pallas_interpret")
+            and config.use_stream):
         return binning_lib.bin_stream(
             prep, grid_x, grid_y, config.max_pairs,
             config.max_render or config.max_pairs,
@@ -125,7 +131,7 @@ def rasterize(
     # n_touched needs the (T, cap) id matrix; otherwise the pallas backend
     # takes the stream layout (row-gathers only, scatter-free backward)
     want_stream = (mode in ("pallas", "pallas_interpret")
-                   and not return_n_touched)
+                   and config.use_stream and not return_n_touched)
     is_stream_bins = isinstance(bins, binning_lib.StreamBins)
     use_stream = want_stream and (bins is None or is_stream_bins)
     if bins is None or (is_stream_bins and not use_stream):

@@ -378,12 +378,14 @@ def _make_stream_core(num_tiles: int, grid_x: int, ts: int, chunk: int,
              tstart, wcount, kept_al):
         stream_t = assemble(pack, gid_of_pos)
         accum, logt, _ = fwd_call(tstart, wcount, stream_t)
+        accum, _ = jax.lax.optimization_barrier((accum, stream_t))
         return accum, logt
 
     def core_fwd(pack, gid_of_pos, pos_by_slot, slow_starts, order,
                  tstart, wcount, kept_al):
         stream_t = assemble(pack, gid_of_pos)
         accum, logt, resid = fwd_call(tstart, wcount, stream_t)
+        accum, stream_t = jax.lax.optimization_barrier((accum, stream_t))
         res = (stream_t, resid, pos_by_slot, slow_starts, order,
                tstart, wcount, kept_al)
         return (accum, logt), res
@@ -393,6 +395,10 @@ def _make_stream_core(num_tiles: int, grid_x: int, ts: int, chunk: int,
          tstart, wcount, kept_al) = res
         gacc, glogt = cotangents
         dstream_t = bwd_call(tstart, wcount, stream_t, gacc, glogt, resid)
+        # keep stream_t live past the call: the kernel DMA-reads it while
+        # DMA-writing the ANY-space output; XLA aliasing the dead input
+        # buffer as that output faults the TPU (r4 accuracy-crash triage)
+        dstream_t, _ = jax.lax.optimization_barrier((dstream_t, stream_t))
         drows = jnp.swapaxes(dstream_t[:_ROWS], 0, 1)     # (MR_AL+chunk, 12)
         pos_ok = jnp.arange(mrpad, dtype=jnp.int32) < kept_al
         drows = jnp.where(pos_ok[:, None], drows, 0.0)
@@ -434,16 +440,20 @@ def _make_stream_direct_core(num_tiles: int, grid_x: int, ts: int,
     @jax.custom_vjp
     def core(stream_t, tstart, wcount, kept_al):
         accum, logt, _ = fwd_call(tstart, wcount, stream_t)
+        accum, _ = jax.lax.optimization_barrier((accum, stream_t))
         return accum, logt
 
     def core_fwd(stream_t, tstart, wcount, kept_al):
         accum, logt, resid = fwd_call(tstart, wcount, stream_t)
+        accum, stream_t = jax.lax.optimization_barrier((accum, stream_t))
         return (accum, logt), (stream_t, resid, tstart, wcount, kept_al)
 
     def core_bwd(res, cotangents):
         stream_t, resid, tstart, wcount, kept_al = res
         gacc, glogt = cotangents
         dstream_t = bwd_call(tstart, wcount, stream_t, gacc, glogt, resid)
+        # liveness barrier: see the Gaussian-path core_bwd note
+        dstream_t, _ = jax.lax.optimization_barrier((dstream_t, stream_t))
         # positions past the live aligned stream are never DMA-written by
         # the backward kernel (uninitialized HBM) — mask before the
         # projection VJP reads them
