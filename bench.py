@@ -145,12 +145,28 @@ def main() -> None:
     cap = max(256, -(-mtc // 256) * 256)
     cfg = cfg.replace(max_per_tile=cap)
     if on_tpu:
+        # right-size the pools from the probed TRUE counts (+headroom):
+        # the sort, slot reduction, and stream assembly are capacity-sized,
+        # so a pool sized to the generic default instead of this scene pays
+        # real milliseconds every iteration (VERDICT r3 #4). Overflow is
+        # re-asserted after resizing — honesty is preserved by measurement,
+        # not by generosity.
+        total_slow = int(bins.slow_starts[-1])
+        kept = int(bins.kept)
+        mp = max(1 << 15, -(-int(total_slow * 1.2) // 4096) * 4096)
+        mr = max(1 << 15, -(-int(kept * 1.15) // CHUNK) * CHUNK)
+        cfg = cfg.replace(max_pairs=mp, max_render=mr)
+        bins = jax.jit(lambda: compute_bins(g, cam, cfg))()
+        assert not bool(bins.overflow) and not bool(bins.tile_overflow), (
+            f"right-sized pools overflowed: max_pairs={mp} (slow "
+            f"{total_slow}), max_render={mr} (kept {kept})")
+
         from gs_localization_tpu.raster.pose_mode import (
             build_stream_pair_pack)
         ppack = jax.jit(lambda: build_stream_pair_pack(g, cam, cfg))()
         assert not bool(ppack.overflow), (
             "pose-mode stream pack overflow (slow pool or stream capacity)"
-            f" at max_pairs={MAX_PAIRS}, max_render={MAX_RENDER}")
+            f" at max_pairs={mp}, max_render={mr}")
 
     def run_refine(tcfg):
         fn = jax.jit(lambda cam_: refine_pose(
@@ -256,6 +272,8 @@ def main() -> None:
         "pair_overflow": pair_ovf,
         "max_tile_count": mtc,
         "legacy_roofline_cap": cap,
+        "max_pairs": cfg.max_pairs,
+        "max_render": cfg.max_render,
         "dispatch_floor_ms": round(floor * 1e3, 2),
         "compile_cache": "warm" if cache_entries else "cold",
         "backend": jax.default_backend(),
