@@ -137,8 +137,8 @@ def main() -> None:
     pair_ovf = bool(bins.overflow)
     mtc = int(bins.max_tile_count)
     assert not tile_ovf, (
-        f"stream truncated at max_render={MAX_RENDER} — the bench would "
-        "measure a truncated render; raise MAX_RENDER")
+        "tile capacity exceeded — the bench would measure a truncated "
+        f"render; raise {'max_render (stream)' if on_tpu else 'max_per_tile (legacy jnp layout)'}")
     assert not pair_ovf, f"pair overflow at max_pairs={MAX_PAIRS}"
     # legacy (T, cap) layout appears ONLY in the roofline section below;
     # size its cap from the probed true max tile count, never a constant

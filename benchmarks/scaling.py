@@ -102,7 +102,7 @@ def main(use_cpu: bool, n_queries_per_dev: int = 2, iters: int = 2,
         "metric": "query_localization_scaling",
         "queries_per_s": {str(k): round(v, 2) for k, v in results.items()},
         "cpu_s_per_run": {str(k): round(v, 2) for k, v in cpu_med.items()},
-        "physical_cores": os.cpu_count(),
+        "cpu_count_logical": os.cpu_count(),
         "efficiency_at_max": round(
             results[counts[-1]] / (results[1] * counts[-1]), 3),
     }))

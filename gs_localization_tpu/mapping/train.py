@@ -138,7 +138,6 @@ def grow_capacity(state: MapTrainState, new_capacity: int) -> MapTrainState:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg"))
-@functools.partial(jax.jit, static_argnames=("cfg", "raster_cfg"))
 def train_step(
     state: MapTrainState,
     camera: Camera,
@@ -150,11 +149,7 @@ def train_step(
     pseudo_camera: Optional[Camera] = None,
     pseudo_view_depth: Optional[jnp.ndarray] = None,
 ) -> tuple[MapTrainState, dict]:
-    """One optimization step. Jitted — REQUIRED, not just faster: op-by-op
-    (eager) dispatch of the Pallas stream kernels pipelined with async XLA
-    ops can fault the tunneled TPU runtime (r4 triage of the accuracy-run
-    crash at iter ~1100: the identical computation passes under jit,
-    deterministically faults eager; see tests/test_train_step_jitted.py).
+    """One optimization step (jitted).
 
     ``pseudo_camera``/``pseudo_view_depth`` implement the few-shot
     pseudo-view regularization (reference gs/7scenes_gs_full_dslam.py:

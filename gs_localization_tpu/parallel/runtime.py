@@ -66,6 +66,10 @@ def initialize_runtime(
     if coordinator_address is None or num_processes is None or \
             int(num_processes) <= 1:
         return False
+    if process_id is None:
+        raise ValueError(
+            "multi-process bring-up needs a process index: pass "
+            "process_id= or set GSLOC_PROCESS_ID")
     if _INITIALIZED:
         return True
 

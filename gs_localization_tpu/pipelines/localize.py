@@ -105,15 +105,21 @@ def localize_queries(
         while bool(np.any(np.asarray(res.overflow))):
             if grows >= cfg.max_capacity_growths:
                 raise RuntimeError(
-                    f"binning overflow persists at max_per_tile="
-                    f"{raster_cfg.max_per_tile} after {grows} growths — "
-                    "raise max_per_tile / max_pairs")
+                    f"binning overflow persists at max_pairs="
+                    f"{raster_cfg.max_pairs} max_per_tile="
+                    f"{raster_cfg.max_per_tile} after {grows} growths")
+            # the overflow bit aggregates every capacity (stream: slow
+            # pool + materialized stream; legacy: pool + per-tile cap) —
+            # grow them all; one wasted doubling is cheaper than a stuck
+            # retry loop that never touches the binding pool
             raster_cfg = raster_cfg.replace(
+                max_pairs=2 * raster_cfg.max_pairs,
                 max_per_tile=2 * raster_cfg.max_per_tile,
                 max_render=2 * (raster_cfg.max_render
                                 or raster_cfg.max_pairs))
             grows += 1
-            log_fn(f"tile overflow: growing max_per_tile to "
+            log_fn(f"binning overflow: growing max_pairs to "
+                   f"{raster_cfg.max_pairs} / max_per_tile to "
                    f"{raster_cfg.max_per_tile} / max_render to "
                    f"{raster_cfg.max_render} (recompiles)")
             res = refine_poses_batch(

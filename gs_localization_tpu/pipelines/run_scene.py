@@ -72,8 +72,13 @@ def _load_scene(args):
     )
 
 
-def _build_frontend(args, cfg):
+def _build_frontend(args, cfg, frame_size=None):
     """(extractor, sparse_matcher, global_desc_fn) from the CLI flags.
+
+    ``frame_size`` (w, h) is required for learned matchers (keypoint
+    normalization); pass the mapping-image size. Per-image sizes are not
+    supported by this front end — scenes mixing resolutions should resize
+    in prepare (the reference's Cambridge path does the same).
 
     --weights-dir lights up the reference's learned front end (SuperPoint
     + SuperGlue + NetVLAD) from user-supplied official checkpoints
@@ -107,12 +112,11 @@ def _build_frontend(args, cfg):
             if os.path.exists(path_of("superglue_outdoor")):
                 sg = weights_lib.load("superglue_outdoor",
                                       path_of("superglue_outdoor"))
+                assert frame_size is not None, (
+                    "superglue matching needs frame_size=(w, h)")
                 matcher = get_matcher("superglue-fast", params=sg)
-                # capture the frame size (constant per scene) for keypoint
-                # normalization; feats carry no image size
-                def sparse_matcher(f0, f1, _m=matcher, _a=args):
-                    w, h = _a._frame_size
-                    return _m(f0, f1, (w, h), (w, h))
+                def sparse_matcher(f0, f1, _m=matcher, _s=frame_size):
+                    return _m(f0, f1, _s, _s)
                 print("weights: superglue matcher enabled (sinkhorn 5)")
         if os.path.exists(path_of("netvlad")):
             from ..sfm.netvlad import load_netvlad_mat, netvlad_descriptor
@@ -134,11 +138,9 @@ def stage_sfm(args) -> None:
 
     scene = _load_scene(args)
     cfg = SfmInitConfig()
-    extractor, sparse_matcher, global_desc_fn = _build_frontend(args, cfg)
     imgs = [load_image(c.image_path) for c in scene.train_cameras]
-    # frame size for learned matchers' keypoint normalization (constant
-    # per scene; consumed by the --weights-dir sparse_matcher closure)
-    args._frame_size = (imgs[0].shape[1], imgs[0].shape[0])
+    extractor, sparse_matcher, global_desc_fn = _build_frontend(
+        args, cfg, frame_size=(imgs[0].shape[1], imgs[0].shape[0]))
     deps = None
     if args.use_depth:
         deps = [load_depth(c.depth_path) if c.depth_path and
@@ -197,6 +199,11 @@ def stage_train(args) -> None:
         tcfg.iterations = args.iterations
         tcfg.test_iterations = (args.iterations,)
         tcfg.save_iterations = (args.iterations,)
+        # keep the reference's schedule SHAPE on short runs: densify for
+        # the first half (reference: 15k of 30k) — otherwise a 3k-iter run
+        # densifies to the very end and the map balloons unconverged
+        if args.iterations < 2 * tcfg.densify_until:
+            tcfg.densify_until = args.iterations // 2
     mcfg = {"cambridge": presets.cambridge_map_cfg,
             "llff": presets.mip360_map_cfg,
             "mip360": presets.mip360_map_cfg}.get(

@@ -42,12 +42,11 @@ from .preprocess import Preprocessed
 # parallel/runtime.py)
 INT32_MAX = np.int32(2**31 - 1)
 
-# must equal blend.ALPHA_MIN (not imported: blend pulls in kernel deps).
-# Every blend kernel zeroes contributions with alpha < this, so dropping
-# (gaussian, tile) pairs whose MAX alpha over the tile is below it leaves
-# the rendered images exact (identical up to fp summation order: removing
-# zero-contribution pairs shifts chunk boundaries, ~1e-7 reassociation).
-_ALPHA_MIN = 1.0 / 255.0
+# every blend kernel zeroes contributions with alpha < ALPHA_MIN, so
+# dropping (gaussian, tile) pairs whose MAX alpha over the tile is below
+# it leaves the rendered images exact (identical up to fp summation order:
+# removing zero-contribution pairs shifts chunk boundaries, ~1e-7).
+from .constants import ALPHA_MIN as _ALPHA_MIN
 
 
 def _tile_qmin(mx, my, ca, cb, cc, tx, ty, tile_size: int):

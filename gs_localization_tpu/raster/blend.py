@@ -29,9 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-ALPHA_MAX = 0.99
-ALPHA_MIN = 1.0 / 255.0
-LOG_T_EPS = float(jnp.log(1e-4))
+from .constants import ALPHA_MAX, ALPHA_MIN, LOG_T_EPS  # noqa: F401
+# (shared with binning's per-tile opacity cull — raster/constants.py)
 
 
 class TileBlendOut(NamedTuple):

@@ -33,10 +33,24 @@ import numpy as np
 
 
 def _torch_sd(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch checkpoint as a flat name->numpy dict (CPU)."""
+    """Load a torch checkpoint as a flat name->numpy dict (CPU).
+
+    Safe-by-default: ``weights_only=True`` (no arbitrary unpickling of a
+    downloaded file). A few official checkpoints wrap their tensors in
+    pickled objects; for those, set GSLOC_ALLOW_PICKLE=1 after checking
+    the file's provenance/hash (WEIGHTS.md step 2).
+    """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if os.environ.get("GSLOC_ALLOW_PICKLE") != "1":
+            raise RuntimeError(
+                f"{path} is not a plain tensor checkpoint "
+                f"(weights_only load failed: {e}). If you trust the file, "
+                "re-run with GSLOC_ALLOW_PICKLE=1.") from e
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     for key in ("state_dict", "model"):
         if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
             obj = obj[key]
@@ -58,13 +72,13 @@ def _sp(path):
 
 
 def _sg(path):
-    from .superglue import load_superglue
-    return load_superglue(path)
+    from .superglue import convert_torch_weights_superglue
+    return convert_torch_weights_superglue(_torch_sd(path))
 
 
 def _lg(path):
-    from .lightglue import load_lightglue
-    return load_lightglue(path)
+    from .lightglue import convert_torch_weights_lightglue
+    return convert_torch_weights_lightglue(_torch_sd(path))
 
 
 def _loftr(path):
@@ -78,8 +92,8 @@ def _d2(path):
 
 
 def _r2d2(path):
-    from .r2d2 import load_r2d2
-    return load_r2d2(path)
+    from .r2d2 import convert_torch_weights_r2d2
+    return convert_torch_weights_r2d2(_torch_sd(path))
 
 
 def _disk(path):
