@@ -51,7 +51,7 @@ def timed_loop(name, body, x0, iters=8, reps=3):
     return ms
 
 
-def main(n_gauss=100_000, width=640, height=480, cap=768, chunk=256,
+def main(n_gauss=100_000, width=640, height=480, cap=1024, chunk=256,
          iters=8):
     import jax
     import jax.numpy as jnp

@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -219,7 +220,10 @@ class Camera:
 
     @property
     def full_proj(self) -> jnp.ndarray:
-        return self.projection @ self.w2c
+        # full f32: this matrix feeds every projection; bf16 here moves
+        # points by ~0.1% of scene scale (core/se3.py _mm note)
+        return jnp.matmul(self.projection, self.w2c,
+                          precision=jax.lax.Precision.HIGHEST)
 
     @property
     def R_w2c(self) -> jnp.ndarray:
@@ -232,7 +236,8 @@ class Camera:
     @property
     def campos(self) -> jnp.ndarray:
         """Camera center in world coordinates: -R^T t."""
-        return -jnp.einsum("...ji,...j->...i", self.R_w2c, self.t_w2c)
+        return -jnp.einsum("...ji,...j->...i", self.R_w2c, self.t_w2c,
+                           precision=jax.lax.Precision.HIGHEST)
 
     def with_delta(self, tau: jnp.ndarray) -> "Camera":
         """Apply an SE(3) tangent delta: w2c' = exp(tau) @ w2c (differentiable)."""

@@ -11,6 +11,7 @@ control flow; the small-angle branch is a ``jnp.where``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SMALL = 1e-5
@@ -30,6 +31,18 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full-f32 matrix product for pose math.
+
+    TPU matmuls default to bf16 inputs (~1e-3 relative); the SE(3)
+    retraction runs ~50 times SEQUENTIALLY per refinement, so default
+    precision random-walks the pose by ~0.5-1.5 DEGREES — the r4 accuracy
+    harness measured exactly that as a refined-rotation floor. These are
+    3x3/4x4 products; HIGHEST costs nothing.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _safe_angle(theta: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Return (angle, is_small). Angle is clamped away from 0 for safe division;
     the small branch uses Taylor series so the clamp never leaks into outputs."""
@@ -42,7 +55,7 @@ def _safe_angle(theta: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 def so3_exp(theta: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) axis-angle -> (..., 3, 3) rotation matrix (Rodrigues)."""
     W = skew(theta)
-    W2 = W @ W
+    W2 = _mm(W, W)
     angle, is_small = _safe_angle(theta)
     a = angle[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=theta.dtype), W.shape)
@@ -54,7 +67,7 @@ def so3_exp(theta: jnp.ndarray) -> jnp.ndarray:
 def so3_left_jacobian(theta: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian V(theta): translation part of SE(3) exp is V @ rho."""
     W = skew(theta)
-    W2 = W @ W
+    W2 = _mm(W, W)
     angle, is_small = _safe_angle(theta)
     a = angle[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=theta.dtype), W.shape)
@@ -70,7 +83,8 @@ def se3_exp(tau: jnp.ndarray) -> jnp.ndarray:
     rho = tau[..., :3]
     theta = tau[..., 3:]
     R = so3_exp(theta)
-    t = jnp.einsum("...ij,...j->...i", so3_left_jacobian(theta), rho)
+    t = jnp.einsum("...ij,...j->...i", so3_left_jacobian(theta), rho,
+                   precision=jax.lax.Precision.HIGHEST)
     top = jnp.concatenate([R, t[..., :, None]], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=tau.dtype), top.shape[:-2] + (1, 4)
@@ -80,7 +94,7 @@ def se3_exp(tau: jnp.ndarray) -> jnp.ndarray:
 
 def apply_delta(tau: jnp.ndarray, w2c: jnp.ndarray) -> jnp.ndarray:
     """Left-multiplicative retraction: w2c' = exp(tau) @ w2c (broadcasting)."""
-    return se3_exp(tau) @ w2c
+    return _mm(se3_exp(tau), w2c)
 
 
 def rotation_geodesic_error_deg(R_est: jnp.ndarray, R_gt: jnp.ndarray) -> jnp.ndarray:
@@ -88,6 +102,8 @@ def rotation_geodesic_error_deg(R_est: jnp.ndarray, R_gt: jnp.ndarray) -> jnp.nd
 
     Matches /root/reference/gs_localization/pipelines/tools/eval_utils.py.
     """
-    tr = jnp.trace(jnp.swapaxes(R_gt, -1, -2) @ R_est, axis1=-2, axis2=-1)
+    # trace(A^T B) == sum(A * B): elementwise, so no matmul precision
+    # hazard (arccos near 1 turns a 3e-4 bf16 trace error into ~1.4 deg)
+    tr = jnp.sum(R_gt * R_est, axis=(-2, -1))
     cosv = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
     return jnp.degrees(jnp.arccos(cosv))

@@ -265,7 +265,13 @@ def train_map(
                      live=np.asarray(g.live))
             log_fn(f"[{it}] dumped state")
 
-        if it % cfg.opacity_reset_interval == 0:
+        # skip the reset when too few iterations remain to recover from it:
+        # the reference resets every 3000 DURING a 30k run (train.py resets
+        # then keeps optimizing); a run whose LAST iteration is a multiple
+        # of the interval would otherwise save a transparency-crushed map
+        # (r4: 3000-iter accuracy run saved at PSNR 6.8 instead of ~20)
+        if (it % cfg.opacity_reset_interval == 0
+                and cfg.iterations - it >= cfg.opacity_reset_interval // 6):
             g2, opt2 = reset_opacity(state.gaussians, state.opt_state)
             state = state.replace(gaussians=g2, opt_state=opt2)
 
