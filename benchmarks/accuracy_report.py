@@ -176,6 +176,11 @@ def main(argv=None):
     ap.add_argument("--report", default="RESULTS.md")
     ap.add_argument("--keep", default=None,
                     help="keep the scene dir here (default: temp, removed)")
+    ap.add_argument("--stage", default="all",
+                    help="run_scene stage to run (resume with --keep DIR "
+                         "--skip-build --stage localize)")
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse the scene layout already in --keep DIR")
     args = ap.parse_args(argv)
     W, H = args.size
 
@@ -187,13 +192,15 @@ def main(argv=None):
     root = args.keep or tempfile.mkdtemp(prefix="acc_report_")
     os.makedirs(root, exist_ok=True)
     try:
-        print(f"building synthetic RGB-D scene in {root} "
-              f"({args.world} splats, {args.train}+{args.test} views, "
-              f"{W}x{H})")
-        build_layout(root, W, H, args.world, args.train, args.test)
+        if not args.skip_build:
+            print(f"building synthetic RGB-D scene in {root} "
+                  f"({args.world} splats, {args.train}+{args.test} views, "
+                  f"{W}x{H})")
+            build_layout(root, W, H, args.world, args.train, args.test)
         out = os.path.join(root, "output_tpu")
         run_scene.main([
-            "--scene", root, "--preset", "seven_scenes", "--stage", "all",
+            "--scene", root, "--preset", "seven_scenes",
+            "--stage", args.stage,
             "--iterations", str(args.iters),
             "--max-pairs", str(1 << 19), "--max-per-tile", "768",
             "--use-depth", "--out", out,

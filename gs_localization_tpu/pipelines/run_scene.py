@@ -267,6 +267,9 @@ def stage_localize(args) -> None:
 
 
 def main(argv=None) -> None:
+    from ..utils.profiling import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", required=True)
     ap.add_argument("--out", default=None)

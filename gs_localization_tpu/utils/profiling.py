@@ -7,15 +7,35 @@ logging (train.py:45-46,189; SURVEY.md §5) with TPU-appropriate tools:
   tunneled axon runtime, execution is lazy — call ``timer.sync(array)`` with
   a real output each step to get honest wall times.
 - ``trace``: context manager around jax.profiler for TensorBoard traces.
+- ``enable_persistent_compile_cache``: on-disk XLA compile cache; the
+  tunneled remote compiler takes minutes per large graph, so pipeline
+  re-runs (e.g. the accuracy report, capacity-growth re-jits across runs)
+  would otherwise pay full recompiles every time.
 """
 
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Optional
 
 import numpy as np
+
+
+def enable_persistent_compile_cache(
+        path: str = "~/.cache/gs_localization_tpu_xla") -> None:
+    """Idempotent; safe to call before or after backend initialization."""
+    import jax
+
+    try:
+        d = os.path.expanduser(path)
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these knobs: cache is an optimization only
 
 
 class StepTimer:
