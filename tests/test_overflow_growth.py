@@ -75,7 +75,9 @@ def test_localize_grows_capacity(dense_scene):
     results, _ = localize_queries(g, [q], cfg, TINY_CAP,
                                   log_fn=logs.append)
     assert "q0" in results
-    assert any("growing max_per_tile" in m for m in logs), logs
+    # assert on the growth event itself, not the exact log wording: the
+    # loop logs one "binning overflow: growing ..." line per doubling
+    assert any(m.startswith("binning overflow: growing") for m in logs), logs
 
 
 def test_localize_fails_loudly_when_growth_disabled(dense_scene):
