@@ -34,9 +34,13 @@ max_tile_count (the r3 bench died on a hardcoded cap sized against the
 wrong scene — VERDICT r3 weak #1).
 
 ``vs_baseline``: measured Mpix/s over the analytic speed-of-light Mpix/s
-for the same per-iteration blend work (full-capacity walk; fraction of
-roofline, 1.0 = speed of light). BASELINE.json publishes no reference
-numbers (BASELINE.md), so the bar is the hardware bound, not a guess.
+for the ACTUAL walked blend work — chunks below each tile's post-cull
+count that start before the tile saturates (T < 1e-4), exactly the chunks
+the kernels execute — so 1.0 = this hardware doing this work at the
+analytic bound (VERDICT r4 #4: the r3/r4 denominator assumed a
+full-capacity walk and the kernel "beat" it at an impossible 126%).
+BASELINE.json publishes no reference numbers (BASELINE.md), so the bar is
+the hardware bound, not a guess.
 
 Environment accounting (VERDICT r3 weak #6): the JSON carries the
 measured dispatch+fetch floor and whether the persistent compile cache
@@ -187,8 +191,16 @@ def main() -> None:
         # N_LOOP iterations run inside one dispatch; subtract the measured
         # dispatch+fetch floor so the per-iteration time is the device time
         dt = _time_loop(step, lambda r: float(r.w2c[0, 0]))
-        dt = max(dt - floor, 1e-9) / N_LOOP
-        return mpix / dt
+        # floor-sanity (ADVICE r4): if the floor eats >80% of the measured
+        # dispatch the subtraction is meaningless — report the raw time
+        # (conservative) rather than an absurdly inflated Mpix/s
+        if dt - floor < 0.2 * dt:
+            print(f"WARNING: dispatch floor {floor*1e3:.1f} ms dominates "
+                  f"measured {dt*1e3:.1f} ms; reporting unsubtracted time",
+                  file=sys.stderr)
+        else:
+            dt = dt - floor
+        return mpix / (dt / N_LOOP)
 
     # ---- headline: pose-mode localization loop (the product default) -----
     pm_mpix = run_refine(TrackingConfig(
@@ -250,13 +262,55 @@ def main() -> None:
     # floor and reported 19.6% of roofline for kernels actually at ~60%
     bf_dt = chained_time(blend_fb, geom0, K=10, floor=floor)
 
-    # analytic speed-of-light for the full-capacity fwd+bwd walk
+    # ---- speed-of-light denominator: ACTUAL walked work (VERDICT r4 #4) --
+    # The kernels walk ceil(count/CHUNK) chunks per tile and early-exit
+    # once every pixel in the tile is saturated (max log T < log 1e-4);
+    # r4 sized the bound from a full-capacity walk (T * cap), which the
+    # measured kernel beat (126% "of roofline") because post-cull tile
+    # counts and saturation do far less work than capacity implies. Count
+    # the walked chunks exactly with the jnp twin's alpha math: a chunk is
+    # walked iff it is below the tile's count AND the tile was not yet
+    # saturated when the chunk started (pallas_blend._fwd_kernel cond; the
+    # backward walks the same chunks, pallas_blend bodyB dynamic bound).
+    from gs_localization_tpu.raster.blend import (
+        LOG_T_EPS, compute_alpha, tile_pixel_coords)
+
+    def count_walked_chunks():
+        pix = tile_pixel_coords(gx, -(-H // ts), ts)       # (T, npix, 2)
+        n_chunks = cap // CHUNK
+        xy = jnp.stack([win[:, 0], win[:, 1]], -1)          # (T, cap, 2)
+        con = jnp.stack([win[:, 2], win[:, 3], win[:, 4]], -1)
+        opa = win[:, 5]
+
+        def step(carry, k):
+            log_t = carry                                   # (T, npix)
+            sl_of = lambda a: jax.lax.dynamic_slice_in_dim(
+                a, k * CHUNK, CHUNK, axis=1)
+            a = compute_alpha(
+                sl_of(xy)[:, None],                         # (T, 1, CHUNK, 2)
+                sl_of(con)[:, None],
+                sl_of(opa)[:, None],
+                pix[:, :, None, :])                         # (T, npix, CHUNK)
+            lanes = k * CHUNK + jnp.arange(CHUNK)
+            gate = (lanes[None, None, :] < counts[:, None, None])
+            la = jnp.log1p(-jnp.where(gate, a, 0.0))
+            in_count = k * CHUNK < counts                   # (T,)
+            not_sat = jnp.max(log_t, axis=1) >= LOG_T_EPS
+            walked = in_count & ((k == 0) | not_sat)
+            return log_t + jnp.sum(la, axis=2), walked
+
+        _, walked = jax.lax.scan(
+            step, jnp.zeros((T, npix), jnp.float32), jnp.arange(n_chunks))
+        return jnp.sum(walked.astype(jnp.int32))
+
+    walked_chunks = int(jax.jit(count_walked_chunks)())
+    capacity_chunks = T * (cap // CHUNK)
+
     PEAK_MXU_F32, PEAK_VPU, PEAK_HBM = 65e12, 4e12, 819e9
-    n_chunks = cap // CHUNK
-    mxu = T * n_chunks * (3 * 2 * npix * CHUNK * CHUNK
-                          + 3 * 2 * 4 * npix * CHUNK)
-    vpu = T * n_chunks * (85 * npix * CHUNK)
-    byts = T * 12 * cap * 4 * 3 + T * npix * 7 * 4 * 2
+    mxu = walked_chunks * (3 * 2 * npix * CHUNK * CHUNK
+                           + 3 * 2 * 4 * npix * CHUNK)
+    vpu = walked_chunks * (85 * npix * CHUNK)
+    byts = walked_chunks * CHUNK * 12 * 4 * 3 + T * npix * 7 * 4 * 2
     sol_fb_s = max(mxu / PEAK_MXU_F32, vpu / PEAK_VPU, byts / PEAK_HBM)
     roofline_pct = 100.0 * sol_fb_s / max(bf_dt, 1e-9)
     sol_mpix = mpix / sol_fb_s
@@ -271,6 +325,8 @@ def main() -> None:
         "reference_semantics_mpix_s": round(ref_mpix, 3),
         "blend_fwd_bwd_roofline_pct": round(roofline_pct, 1),
         "speed_of_light_mpix_s": round(sol_mpix, 3),
+        "walked_chunks": walked_chunks,
+        "capacity_chunks": capacity_chunks,
         "tile_overflow": tile_ovf,
         "pair_overflow": pair_ovf,
         "max_tile_count": mtc,

@@ -182,6 +182,12 @@ def main(argv=None):
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse the scene layout already in --keep DIR")
     args = ap.parse_args(argv)
+    if args.skip_build and not args.keep:
+        ap.error("--skip-build requires --keep DIR (nothing to reuse in a "
+                 "fresh temp dir)")
+    if args.stage != "all" and not args.keep:
+        ap.error("--stage partial runs require --keep DIR (the staged work "
+                 "would be deleted on exit)")
     W, H = args.size
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
@@ -204,11 +210,18 @@ def main(argv=None):
             "--iterations", str(args.iters),
             "--max-pairs", str(1 << 19), "--max-per-tile", "768",
             "--use-depth", "--out", out,
-            # legacy pregathered kernels: this scene's shape regime hits a
-            # stream-kernel runtime fault under the tunnel —
-            # KNOWN_ISSUES.md #1 (deterministic, fully triaged r4)
-            "--no-stream",
+            # NO --no-stream: this scene's single-chunk regime faults the
+            # stream kernels (KNOWN_ISSUES.md #1), but since r5 the
+            # pipelines detect the regime and auto-route to the legacy
+            # kernels (raster.stream_regime_guard) — the harness runs the
+            # product defaults
         ])
+        if args.stage not in ("localize", "all"):
+            # metrics.json is only written by the localize stage; partial
+            # runs stop after their stage (resume later with --keep DIR
+            # --skip-build --stage localize)
+            print(f"stage '{args.stage}' done; skipping report/gates")
+            return
         metrics = json.load(open(os.path.join(out, "metrics.json")))
         it, ir = init_pose_errors(root, out)
 

@@ -48,6 +48,15 @@ class TrackingConfig:
     # per-iteration gather/scatter that dominates the TPU step cost. rgb is
     # frozen at the rebin view direction (error O(pose delta) ~ 1e-3).
     pose_mode: bool = struct.field(pytree_node=False, default=False)
+    # normalize the RENDERED depth by alpha before the depth L1. The
+    # rasterizer accumulates D = sum(d_i a_i T_i) (reference forward.cu:
+    # 336-346 depth fork) which reads ~alpha*true_depth, while sensor /
+    # on-disk gt depth is true depth — inside the opacity>0.99 band that
+    # mismatch is a systematic up-to-(1-alpha)*depth bias (~4 cm at 4 m)
+    # that the 0.01-weight depth term pulls the pose toward. Normalizing
+    # restores metric semantics; at alpha->1 it is the identity, so the
+    # reference behavior is the limit case.
+    normalize_depth: bool = struct.field(pytree_node=False, default=False)
 
 
 class RefineResult(NamedTuple):
@@ -82,6 +91,8 @@ def tracking_loss(
             * opacity_mask[..., 0]
             * grad_mask.astype(depth.dtype)
         )
+        if cfg.normalize_depth:
+            depth = depth / jnp.maximum(alpha, 1e-6)
         l1_d = jnp.abs(depth * dmask - gt_depth * dmask)
         loss = loss + (1.0 - cfg.alpha) * jnp.mean(l1_d)
     return loss

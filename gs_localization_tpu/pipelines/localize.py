@@ -76,6 +76,15 @@ def localize_queries(
     errs_t: List[float] = []
     errs_r: List[float] = []
 
+    # KNOWN_ISSUES #1 auto-guard: single-chunk scenes fault the stream
+    # kernels under the tunneled runtime — probe the first query's regime
+    # and fall back to the legacy kernels automatically (VERDICT r4 #2)
+    if queries:
+        from ..raster import stream_regime_guard
+
+        raster_cfg = stream_regime_guard(
+            gaussians, queries[0].camera, raster_cfg, log_fn=log_fn)
+
     b = cfg.batch_size
     n = len(queries)
     for lo in range(0, n, b):

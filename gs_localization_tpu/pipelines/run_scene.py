@@ -180,6 +180,34 @@ def stage_sfm(args) -> None:
     print(f"saved {len(pts)} sfm points")
 
 
+def _build_depth_estimator(args):
+    """--weights-dir containing the MiDaS checkpoint lights up the few-shot
+    pseudo-depth training path (reference gaussian_splatting/utils/
+    depth_utils.py:1-40 via gs/7scenes_gs_full_dslam.py:187-206): DPT_Hybrid
+    when dpt_hybrid-midas-501f0c75.pt is present, else MiDaS v2.1 when
+    midas_v21-f6b98070.pt is. Returns None (no pseudo-depth prior)
+    otherwise."""
+    if not args.weights_dir:
+        return None
+    from ..sfm import weights as weights_lib
+
+    for name, maker in (
+        ("dpt_hybrid", "make_dpt_estimator"),
+        ("midas_v21", "make_midas_estimator"),
+    ):
+        path = os.path.join(args.weights_dir, weights_lib.MANIFEST[name].file)
+        if os.path.exists(path):
+            params = weights_lib.load(name, path)
+            if name == "dpt_hybrid":
+                from ..ops.dpt import make_dpt_estimator as make
+            else:
+                from ..ops.midas import make_midas_estimator as make
+            print(f"weights: {name} depth prior enabled (few-shot "
+                  "pseudo-view regularization)")
+            return make(params)
+    return None
+
+
 def stage_train(args) -> None:
     from ..pipelines import presets, train_map
     from ..raster import RasterizerConfig
@@ -204,6 +232,13 @@ def stage_train(args) -> None:
         # densifies to the very end and the map balloons unconverged
         if args.iterations < 2 * tcfg.densify_until:
             tcfg.densify_until = args.iterations // 2
+        # same for the few-shot pseudo-view window (reference: (2k, 29k)
+        # of 30k, gs/7scenes_gs_full_dslam.py:187): scale it so short runs
+        # still exercise the depth prior instead of never reaching 2000
+        if args.iterations < tcfg.end_sample_pseudo:
+            frac = args.iterations / 30_000
+            tcfg.start_sample_pseudo = max(1, int(2_000 * frac))
+            tcfg.end_sample_pseudo = max(2, int(29_000 * frac))
     mcfg = {"cambridge": presets.cambridge_map_cfg,
             "llff": presets.mip360_map_cfg,
             "mip360": presets.mip360_map_cfg}.get(
@@ -211,7 +246,8 @@ def stage_train(args) -> None:
     rcfg = RasterizerConfig(max_pairs=args.max_pairs,
                             max_per_tile=args.max_per_tile,
                             use_stream=args.stream)
-    train_map(scene, args.out, tcfg, mcfg, rcfg)
+    train_map(scene, args.out, tcfg, mcfg, rcfg,
+              depth_estimator=_build_depth_estimator(args))
 
 
 def stage_localize(args) -> None:

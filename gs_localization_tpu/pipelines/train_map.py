@@ -42,6 +42,7 @@ def _jit_render(gaussians, camera, raster_cfg):
 
     return rasterize(gaussians, camera, raster_cfg)
 from ..raster import RasterizerConfig, rasterize
+from ..raster.rasterize import _blend_mode
 
 
 def _default_loader():
@@ -138,6 +139,16 @@ def train_map(
     gaussians = GaussianParams.from_pcd(
         scene.points, scene.colors, sh_degree=cfg.sh_degree, capacity=capacity
     )
+    # KNOWN_ISSUES #1 auto-guard: probe the first camera's binning regime
+    # and route single-chunk scenes to the legacy kernels BEFORE compiling
+    # the stream graphs (the faulting regime is a scene property, not an
+    # iteration property — see also the mid-run switch below)
+    if scene.train_cameras:
+        from ..raster import stream_regime_guard
+
+        raster_cfg = stream_regime_guard(
+            gaussians, scene.train_cameras[0].camera, raster_cfg,
+            log_fn=log_fn)
     state = init_training(gaussians, map_cfg, seed=cfg.seed)
     rng = np.random.default_rng(cfg.seed)
     all_cams = list(scene.train_cameras)
@@ -195,6 +206,19 @@ def train_map(
         # Checked every 10 steps: the host fetch would otherwise serialize
         # the async dispatch pipeline (the reference pays a D2H sync every
         # forward, rasterizer_impl.cu:282 — we keep it off the common path).
+        # mid-run stream-regime guard (one-way): pruning can drive a scene
+        # into the all-tiles-single-chunk regime after training starts —
+        # switch to the legacy kernels the moment it is entered rather
+        # than faulting (KNOWN_ISSUES #1). The max_tile_count fetch rides
+        # the same 10-step cadence as the overflow audit.
+        if (it % 10 == 0 and raster_cfg.use_stream
+                and _blend_mode(raster_cfg.backend) == "pallas"
+                and int(aux["max_tile_count"]) <= raster_cfg.pallas_chunk):
+            log_fn(f"[{it}] stream-regime guard: max tile count "
+                   f"{int(aux['max_tile_count'])} <= chunk "
+                   f"{raster_cfg.pallas_chunk} — switching to legacy "
+                   "kernels (re-jit; KNOWN_ISSUES.md #1)")
+            raster_cfg = raster_cfg.replace(use_stream=False)
         if it % 10 == 0 and (bool(aux["tile_overflow"])
                              or bool(aux["overflow"])):
             mtc = int(aux["max_tile_count"])

@@ -19,4 +19,5 @@ The blend math matches the reference kernel semantics exactly
 monotone transmittance cutoff at T < 1e-4, out = C + T*bg, depth = sum w_i d_i.
 """
 
-from .rasterize import RasterizerConfig, rasterize, render
+from .rasterize import (RasterizerConfig, rasterize, render,
+                        stream_regime_guard)
