@@ -106,15 +106,14 @@ def main() -> None:
     import jax.numpy as jnp
 
     # persistent compilation cache: the tunneled remote compiler takes
-    # minutes per binning graph; warm runs skip it entirely
-    cache_dir = os.path.expanduser("~/.cache/jax_bench")
+    # minutes per binning graph; warm runs skip it entirely. One shared
+    # dir with the pipelines (ADVICE r4; benchmarks.timing migrates the
+    # old jax_bench dir)
+    from benchmarks.timing import enable_persistent_cache
+
+    enable_persistent_cache()
+    cache_dir = os.path.expanduser("~/.cache/gs_localization_tpu_xla")
     cache_entries = len(glob.glob(os.path.join(cache_dir, "*")))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     sys.path.insert(0, "tests")
 

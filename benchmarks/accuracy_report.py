@@ -41,13 +41,23 @@ GATES = {
 }
 
 
-def textured_surface(rng, gx=128, gy=96, z=4.0, spread=2.2, colnoise=0.35):
-    """Gaussians on a bumpy plane with patchy colors — a textured wall.
+def textured_surface(rng, gx=128, gy=96, z=4.0, spread=2.2, colnoise=0.35,
+                     structure=True):
+    """Gaussians on a bumpy plane with patchy colors + foreground slabs.
 
     Floating random splats render as sub-pixel dots that defeat corner
     detection; a surface with low-frequency color structure + per-splat
     noise gives the SfM front end stable, distinctive corners (match
     precision ~87% measured at 320x240 against depth-reprojected GT).
+
+    ``structure`` adds ~8 textured slabs floating 0.6-1.6 m in front of
+    the wall (VERDICT r4 #1): a purely planar world leaves the classic
+    rotation-vs-translation homography ambiguity nearly unconstrained, so
+    photometric pose refinement can trade a 1-deg rotation against a cm
+    of translation with almost no residual change — the reference's
+    7-Scenes rooms are full 3D, and depth diversity is what conditions
+    the rotation. Measured on the r4 failure (repro'd this round):
+    refinement DEGRADED rotation 0.17 -> 1.5 deg on the flat wall.
     """
     from gs_localization_tpu.core import sh as sh_lib
     from gs_localization_tpu.core.gaussians import GaussianParams
@@ -65,13 +75,45 @@ def textured_surface(rng, gx=128, gy=96, z=4.0, spread=2.2, colnoise=0.35):
          (0.5 + 0.45 * np.cos(X * 2.2) * np.sin(Y * 3.7)).ravel(),
          rng.uniform(0.1, 0.9, n)], 1)
     col = np.clip(col + colnoise * rng.standard_normal((n, 3)), 0.02, 0.98)
-    k = sh_lib.num_sh_coeffs(1)
     step = 2 * spread / gx
+    scale = np.full((n, 3), np.log(step * 0.9), np.float32)
+
+    if structure:
+        # foreground slabs: small dense patches at varied depths
+        sxyz, scol = [], []
+        for _ in range(8):
+            cx = rng.uniform(-0.7, 0.7) * spread
+            cy = rng.uniform(-0.55, 0.55) * spread
+            cz = z - rng.uniform(0.6, 1.6)
+            w = rng.uniform(0.25, 0.5)
+            px, py = np.meshgrid(np.linspace(-w, w, 12),
+                                 np.linspace(-w, w, 12))
+            pz = cz + 0.04 * rng.standard_normal(px.shape)
+            sxyz.append(np.stack([cx + px.ravel(), cy + py.ravel(),
+                                  pz.ravel()], 1))
+            f1, f2, p1 = rng.uniform(4, 9, 3)
+            c = np.stack(
+                [0.5 + 0.45 * np.sin(px.ravel() * f1 + p1),
+                 0.5 + 0.45 * np.cos(py.ravel() * f2),
+                 np.full(px.size, rng.uniform(0.15, 0.85))], 1)
+            scol.append(np.clip(
+                c + colnoise * rng.standard_normal(c.shape), 0.02, 0.98))
+        sxyz = np.concatenate(sxyz).astype(np.float32)
+        scol = np.concatenate(scol)
+        xyz = np.concatenate([xyz, sxyz])
+        col = np.concatenate([col, scol])
+        sstep = 2 * 0.375 / 12   # mean slab extent over its grid
+        scale = np.concatenate(
+            [scale, np.full((len(sxyz), 3), np.log(sstep * 0.9),
+                            np.float32)])
+        n = len(xyz)
+
+    k = sh_lib.num_sh_coeffs(1)
     return GaussianParams.from_arrays(
         xyz=xyz,
         features_dc=sh_lib.rgb_to_sh_dc(col).astype(np.float32)[:, None, :],
         features_rest=np.zeros((n, k - 1, 3), np.float32),
-        scaling=np.full((n, 3), np.log(step * 0.9), np.float32),
+        scaling=scale,
         rotation=np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)),
         opacity=np.full((n, 1), 3.0, np.float32),
         sh_degree=1)
@@ -264,6 +306,21 @@ def main(argv=None):
             cmp_s = ">=" if k.startswith("recall") else "<="
             lines.append(f"- `{k}` = {val:.4f} ({cmp_s} {gate}): "
                          f"{'PASS' if passed else 'FAIL'}")
+        # 4th gate (VERDICT r4 #1): refinement must IMPROVE on its PnP
+        # initialization on both metrics — the product's whole reason to
+        # exist (reference: <=50 Adam steps strictly improve the
+        # retrieval+PnP pose, pipelines/7scenes_localize_full_dslam.py:
+        # 29-93). Small tolerance: an init already at the noise floor may
+        # bounce within measurement noise.
+        for label, refined, init_med in (
+            ("trans", metrics["median_trans_m"], float(np.median(it))),
+            ("rot", metrics["median_rot_deg"], float(np.median(ir))),
+        ):
+            passed = refined <= init_med * 1.05 + 1e-6
+            ok = ok and passed
+            lines.append(
+                f"- refined median {label} {refined:.4f} <= PnP init "
+                f"{init_med:.4f} (x1.05): {'PASS' if passed else 'FAIL'}")
         report = "\n".join(lines) + "\n"
         with open(args.report, "w") as f:
             f.write(report)

@@ -17,14 +17,34 @@ import numpy as np
 
 
 def enable_persistent_cache() -> None:
-    """Warm re-runs skip the minutes-per-graph tunneled compiler."""
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_bench"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    """Warm re-runs skip the minutes-per-graph tunneled compiler.
+
+    One cache for bench AND pipelines (ADVICE r4: two disjoint dirs paid
+    redundant tunneled recompiles for shared graphs). Entries from the
+    pre-r5 bench dir (~/.cache/jax_bench) are migrated once."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gs_localization_tpu.utils.profiling import (
+        enable_persistent_compile_cache)
+
+    old = os.path.expanduser("~/.cache/jax_bench")
+    new = os.path.expanduser("~/.cache/gs_localization_tpu_xla")
+    if os.path.isdir(old):
+        import shutil
+        os.makedirs(new, exist_ok=True)
+        for f in os.listdir(old):
+            dst = os.path.join(new, f)
+            if not os.path.exists(dst):
+                try:
+                    shutil.move(os.path.join(old, f), dst)
+                except OSError:
+                    pass
+        try:
+            os.rmdir(old)
+        except OSError:
+            pass
+    enable_persistent_compile_cache()
 
 
 enable_persistent_cache()
