@@ -274,6 +274,21 @@ def stage_localize(args) -> None:
     rcfg = RasterizerConfig(max_pairs=args.max_pairs,
                             max_per_tile=args.max_per_tile,
                             use_stream=args.stream)
+    # reference masks are grad_mask UNION SuperPoint-keypoint boxes
+    # (7scenes_localize_full_dslam.py:352-360); with --weights-dir the
+    # extractor is available — feed per-query keypoints into the mask
+    kp_extractor = None
+    if args.weights_dir:
+        from ..sfm import weights as weights_lib
+        from ..sfm.registry import get_extractor
+
+        sp_path = os.path.join(args.weights_dir,
+                               weights_lib.MANIFEST["superpoint"].file)
+        if os.path.exists(sp_path):
+            sp = weights_lib.load("superpoint", sp_path)
+            kp_extractor = get_extractor("superpoint_aachen", params=sp)
+            print("weights: superpoint keypoint masks enabled")
+
     queries = []
     for q in scene.test_cameras:
         if q.name not in init:
@@ -286,8 +301,14 @@ def stage_localize(args) -> None:
         if not lcfg.tracking.monocular and q.depth_path and \
                 os.path.exists(q.depth_path):
             dep = load_depth(q.depth_path)
+        kps = None
+        if kp_extractor is not None:
+            feats = kp_extractor(img)
+            kp = np.asarray(feats.keypoints)
+            sc = np.asarray(feats.scores)
+            kps = kp[sc > lcfg.keypoint_score_min]
         queries.append(QuerySpec(
-            name=q.name, camera=cam, image=img, depth=dep,
+            name=q.name, camera=cam, image=img, depth=dep, keypoints=kps,
             gt_w2c=np.asarray(q.camera.w2c),
         ))
     results, metrics = localize_queries(gaussians, queries, lcfg, rcfg)
