@@ -199,3 +199,32 @@ class TestConvergenceEquivalence:
             # floor of the recovery itself (1 mm / 0.1 deg at this scale)
             assert abs(t_err - t_exact) < 1e-3, (t_err, t_exact)
             assert abs(r_err - r_exact) < 0.1, (r_err, r_exact)
+
+
+class TestNormalizeDepth:
+    """TrackingConfig.normalize_depth: the rendered ACCUMULATED depth
+    (~alpha * true depth) is divided by alpha before the depth L1, matching
+    on-disk / sensor metric-depth semantics (r5; default off keeps the
+    reference's raw-accumulated comparison)."""
+
+    def _loss(self, cfg, alpha_val=0.95):
+        from gs_localization_tpu.loc.refine import tracking_loss
+
+        H, W = 8, 10
+        true_depth = jnp.full((H, W), 4.0)
+        alpha = jnp.full((H, W), alpha_val)
+        accum_depth = true_depth * alpha        # what the rasterizer sums
+        color = jnp.zeros((H, W, 3))
+        return float(tracking_loss(
+            color, accum_depth, alpha, jnp.zeros(2), color,
+            jnp.ones((H, W), bool), cfg.replace(opacity_threshold=0.9),
+            gt_depth=true_depth))
+
+    def test_normalized_removes_alpha_bias(self):
+        cfg = TrackingConfig(normalize_depth=True)
+        assert self._loss(cfg) < 1e-6
+
+    def test_unnormalized_keeps_reference_semantics(self):
+        cfg = TrackingConfig(normalize_depth=False)
+        # bias = (1 - alpha) * depth * weight = 0.05 * 4.0 * 0.01
+        assert abs(self._loss(cfg) - 0.05 * 4.0 * 0.01) < 1e-6
