@@ -27,15 +27,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 PROBE = r"""
 import sys
-sys.path.insert(0, {repo!r})
-sys.path.insert(0, {repo!r} + "/tests")
+sys.path.insert(0, __REPO__)
+sys.path.insert(0, __REPO__ + "/tests")
 import numpy as np
 import jax
 import jax.numpy as jnp
 from gs_localization_tpu.raster import RasterizerConfig, rasterize
 from helpers import random_scene, make_camera
 
-cfgd = {cfg!r}
+cfgd = __CFG__
 W, H = cfgd["wh"]
 rng = np.random.default_rng(7)
 # scale_range tunes per-tile density: smaller splats -> lower counts
@@ -91,7 +91,8 @@ print("PROBE_OK", flush=True)
 
 
 def run_probe(cfg, timeout=900):
-    code = PROBE.format(repo=REPO, cfg=cfg)
+    code = PROBE.replace("__REPO__", repr(REPO)).replace(
+        "__CFG__", repr(cfg))
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, timeout=timeout)

@@ -224,6 +224,10 @@ def stream_regime_guard(
     Costs one compute_bins compile+dispatch for the probe camera; cached
     by the persistent compile cache across runs.
     """
+    import os
+
+    if os.environ.get("GSL_NO_STREAM_GUARD"):
+        return config        # debug escape hatch: force the stream kernels
     if not config.use_stream or _blend_mode(config.backend) != "pallas":
         return config
     import jax
