@@ -212,6 +212,7 @@ def train_map(
         # than faulting (KNOWN_ISSUES #1). The max_tile_count fetch rides
         # the same 10-step cadence as the overflow audit.
         if (it % 10 == 0 and raster_cfg.use_stream
+                and not os.environ.get("GSL_NO_STREAM_GUARD")
                 and _blend_mode(raster_cfg.backend) == "pallas"
                 and int(aux["max_tile_count"]) <= raster_cfg.pallas_chunk):
             log_fn(f"[{it}] stream-regime guard: max tile count "
